@@ -1,0 +1,109 @@
+"""Golden tests for densities and alpha compositing vs a torch oracle
+re-deriving base_vampire2.py:391-467 and render_utils.py."""
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from vampire_tpu.core import rendering as R
+
+
+def test_laplace_density_matches_reference():
+    """render_utils.py:30-46 (ModifyLaplaceDensity)."""
+    sdf = np.linspace(-3, 2, 41).astype(np.float32)
+    beta, bias, beta_min = 0.1, -1.0, 1e-4
+    got = np.asarray(R.laplace_density(jnp.asarray(sdf), beta, bias, beta_min))
+    t = torch.from_numpy(sdf)
+    beta_eff = abs(beta) + beta_min
+    alpha = 1 / beta_eff
+    want = alpha * (0.5 + 0.5 * (t - bias).sign()
+                    * torch.expm1(-(t - bias).abs() / beta_eff))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-6)
+    # deep-inside point -> density ~ alpha; far-outside -> ~0
+    assert got[0] > 0.99 * alpha
+    assert got[-1] < 1e-3
+
+
+def test_transmittance_weights_match_torch_cumsum():
+    rng = np.random.RandomState(0)
+    density = rng.rand(2, 3, 5, 4, 4).astype(np.float32) * 3
+    delta = rng.rand(2, 3, 5, 4, 4).astype(np.float32)
+    w, acc = R.transmittance_weights(jnp.asarray(density), jnp.asarray(delta),
+                                     axis=2)
+    td, tdel = torch.from_numpy(density), torch.from_numpy(delta)
+    sd = td * tdel
+    alpha = 1 - torch.exp(-sd)
+    trans = torch.exp(-torch.cat(
+        [torch.zeros_like(sd[:, :, :1]), torch.cumsum(sd[:, :, :-1], dim=2)],
+        dim=2))
+    want = alpha * trans
+    np.testing.assert_allclose(np.asarray(w), want.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc), want.sum(dim=2).numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_render_camera_rays_end_to_end():
+    """Full camera branch vs torch oracle with Laplace density."""
+    rng = np.random.RandomState(1)
+    B, N, S, h, w, K = 1, 2, 6, 3, 4, 5
+    sdf = rng.randn(B, N, S, h, w).astype(np.float32)
+    seg = rng.randn(B, N, S, h, w, K).astype(np.float32)
+    rgb = rng.rand(B, N, S, h, w, 3).astype(np.float32)
+    geom = np.cumsum(rng.rand(B, N, S + 1, h, w, 3).astype(np.float32), axis=2)
+    mids = np.linspace(2.4, 69.6, S).astype(np.float32)
+    beta, bias = 0.1, -1.0
+    density_fn = lambda s: R.laplace_density(s, beta, bias)
+    rgb_p, seg_p, depth_p = R.render_camera_rays(
+        jnp.asarray(sdf), jnp.asarray(seg), jnp.asarray(rgb), jnp.asarray(geom),
+        jnp.asarray(mids), density_fn, bg_depth=70.4)
+
+    # torch oracle (base_vampire2.py:423-440)
+    t_sdf = torch.from_numpy(sdf)
+    beta_eff = abs(beta) + 1e-4
+    dens = (1 / beta_eff) * (0.5 + 0.5 * (t_sdf - bias).sign()
+                             * torch.expm1(-(t_sdf - bias).abs() / beta_eff))
+    t_geom = torch.from_numpy(geom)
+    delta = torch.norm(t_geom[:, :, 1:] - t_geom[:, :, :-1], dim=-1)
+    sd = dens * delta
+    alpha = 1 - torch.exp(-sd)
+    trans = torch.exp(-torch.cat(
+        [torch.zeros_like(sd[:, :, :1]), torch.cumsum(sd[:, :, :-1], dim=2)],
+        dim=2))
+    wts = alpha * trans
+    acc = wts.sum(dim=2)
+    bg = (1 - acc) * 70.4
+    want_rgb = (wts[..., None] * torch.from_numpy(rgb)).sum(dim=2)
+    want_seg = (wts[..., None] * torch.from_numpy(seg)).sum(dim=2)
+    want_depth = (wts * torch.from_numpy(mids)[None, None, :, None, None]
+                  ).sum(dim=2) + bg
+    np.testing.assert_allclose(np.asarray(rgb_p), want_rgb.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg_p), want_seg.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_p), want_depth.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_render_bev_columns():
+    rng = np.random.RandomState(2)
+    B, S, Y, X, K = 2, 10, 4, 4, 3
+    dens = rng.rand(B, S, Y, X).astype(np.float32)
+    seg = rng.randn(B, S, Y, X, K).astype(np.float32)
+    rgb = rng.rand(B, S, Y, X, 3).astype(np.float32)
+    mids = np.linspace(2.8, -0.8, S).astype(np.float32)
+    bev_rgb, bev_seg, bev_h = R.render_bev_columns(
+        jnp.asarray(dens), jnp.asarray(seg), jnp.asarray(rgb),
+        jnp.asarray(mids), 0.4)
+
+    td = torch.from_numpy(dens)
+    sd = td * 0.4
+    alpha = 1 - torch.exp(-sd)
+    trans = torch.exp(-torch.cat(
+        [torch.zeros_like(sd[:, :1]), torch.cumsum(sd[:, :-1], dim=1)], dim=1))
+    wts = alpha * trans
+    want_rgb = (wts[..., None] * torch.from_numpy(rgb)).sum(dim=1)
+    want_h = (wts * torch.from_numpy(mids)[None, :, None, None]).sum(dim=1)
+    np.testing.assert_allclose(np.asarray(bev_rgb), want_rgb.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bev_h), want_h.numpy(),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,108 @@
+"""Golden tests: trilinear sampling vs torch.nn.functional.grid_sample."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from vampire_tpu.core import sampling as S
+
+
+def _rand_vol(d, h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(d, h, w, c).astype(np.float32)
+
+
+def _rand_coords(n, seed=1, lo=-1.4, hi=1.4):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, 3) * (hi - lo) + lo).astype(np.float32)
+
+
+@pytest.mark.parametrize('align_corners', [True, False])
+@pytest.mark.parametrize('padding', ['zeros', 'border'])
+def test_grid_sample_3d_matches_torch(align_corners, padding):
+    vol = _rand_vol(7, 9, 11, 5)
+    coords = _rand_coords(257)
+    got = np.asarray(S.grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                                      align_corners=align_corners,
+                                      padding_mode=padding))
+    # torch: input (N, C, D, H, W), grid (N, Do, Ho, Wo, 3) with (x, y, z)
+    t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]
+    t_grid = torch.from_numpy(coords)[None, :, None, None, :]
+    want = F.grid_sample(t_vol, t_grid, mode='bilinear', padding_mode=padding,
+                         align_corners=align_corners)
+    want = want[0, :, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_exact_corner_values():
+    vol = _rand_vol(4, 4, 4, 2)
+    # align_corners=True: (-1,-1,-1) hits voxel [0,0,0]; (1,1,1) hits [-1,-1,-1]
+    coords = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    got = np.asarray(S.grid_sample_3d(jnp.asarray(vol), coords, True, 'zeros'))
+    np.testing.assert_allclose(got[0], vol[0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(got[1], vol[-1, -1, -1], rtol=1e-6)
+
+
+def test_batched_grid_sample():
+    vols = np.stack([_rand_vol(5, 6, 7, 3, seed=i) for i in range(2)])
+    coords = np.stack([_rand_coords(33, seed=i + 5) for i in range(2)])
+    got = np.asarray(S.batched_grid_sample_3d(jnp.asarray(vols),
+                                              jnp.asarray(coords), True, 'zeros'))
+    for b in range(2):
+        single = np.asarray(S.grid_sample_3d(jnp.asarray(vols[b]),
+                                             jnp.asarray(coords[b]), True, 'zeros'))
+        np.testing.assert_allclose(got[b], single, rtol=1e-6)
+
+
+def test_sample_outer_product_matches_materialized():
+    """Fused lifting == grid_sample of the materialized depth⊗feat volume."""
+    rng = np.random.RandomState(7)
+    D, H, W, C = 6, 8, 10, 4
+    depth = rng.rand(D, H, W).astype(np.float32)
+    feat = rng.randn(H, W, C).astype(np.float32)
+    coords = _rand_coords(301, seed=9)
+
+    got = np.asarray(S.sample_outer_product(jnp.asarray(depth), jnp.asarray(feat),
+                                            jnp.asarray(coords),
+                                            align_corners=False))
+    # materialized oracle via torch grid_sample (align_corners=False, zeros),
+    # exactly how the reference samples img_feats_with_depth
+    # (base_vampire2.py:553,507)
+    vol = depth[None, :, :, :] * feat.transpose(2, 0, 1)[:, None, :, :]  # C,D,H,W
+    t_vol = torch.from_numpy(vol)[None]
+    t_grid = torch.from_numpy(coords)[None, :, None, None, :]
+    want = F.grid_sample(t_vol, t_grid, mode='bilinear', padding_mode='zeros',
+                         align_corners=False)[0, :, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_linear_matches_torch_bilinear():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 16, 44, 3).astype(np.float32)  # NHWC
+    got = np.asarray(S.resize_linear(jnp.asarray(x), (64, 176), (1, 2)))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(t, scale_factor=4, mode='bilinear',
+                         align_corners=True).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_linear_downscale_matches_torch():
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 32, 32, 2).astype(np.float32)
+    got = np.asarray(S.resize_linear(jnp.asarray(x), (16, 16), (1, 2)))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = torch.nn.UpsamplingBilinear2d(scale_factor=0.5)(t)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_linear_trilinear_matches_torch():
+    rng = np.random.RandomState(5)
+    x = rng.randn(1, 5, 8, 8, 2).astype(np.float32)  # NDHWC
+    got = np.asarray(S.resize_linear(jnp.asarray(x), (10, 16, 16), (1, 2, 3)))
+    t = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+    want = F.interpolate(t, size=(10, 16, 16), mode='trilinear',
+                         align_corners=True).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,218 @@
+"""Trilinear field sampling (gather-based, XLA-friendly).
+
+Implements the exact semantics of `torch.nn.functional.grid_sample` for 3D
+volumes as used by the reference (`base_vampire2.py:419,442,507,590,594,608-609`):
+  * coords are (x, y, z) in [-1, 1], x indexes the innermost (W) axis,
+  * `align_corners=True`  : ix = (x + 1)/2 * (W - 1)
+  * `align_corners=False` : ix = ((x + 1) * W - 1)/2
+  * padding 'zeros'  : out-of-bounds corners contribute 0,
+  * padding 'border' : coordinate is clamped to [0, size-1] first.
+
+Volumes are channels-last (D, H, W, C) — the TPU-native layout (lanes on C).
+All interpolation weights are computed in fp32; gathered values are accumulated
+in fp32 and cast to `out_dtype`.
+
+`sample_outer_product` is the fused lifting op: the reference materializes the
+depth-distribution frustum tensor `depth ⊗ feat` of shape (B*N, C, D, h, w)
+(~0.75 GB at B=4) and grid-samples it (`base_vampire2.py:553,507`); here the
+trilinear sample distributes over the outer product, so we gather 8 scalars
+from the depth volume and 4 C-vectors from the feature map per query instead —
+the frustum tensor never exists.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    coord = coord.astype(jnp.float32)
+    if align_corners:
+        return (coord + 1.0) / 2.0 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) / 2.0
+
+
+def _corner(idx: jnp.ndarray, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Clamped int index + in-bounds mask."""
+    inb = (idx >= 0) & (idx <= size - 1)
+    return jnp.clip(idx, 0, size - 1), inb
+
+
+def _prep_axis(coord, size, align_corners, border):
+    """Returns (i0, i1, w1, inb0, inb1) for one axis."""
+    x = _unnormalize(coord, size, align_corners)
+    if border:
+        x = jnp.clip(x, 0.0, float(size - 1))
+    x0 = jnp.floor(x)
+    w1 = x - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    i0c, inb0 = _corner(i0, size)
+    i1c, inb1 = _corner(i1, size)
+    return (i0c, i1c), (1.0 - w1, w1), (inb0, inb1)
+
+
+def grid_sample_3d(vol: jnp.ndarray,
+                   coords: jnp.ndarray,
+                   align_corners: bool = True,
+                   padding_mode: str = 'zeros',
+                   out_dtype: Optional[jnp.dtype] = jnp.float32) -> jnp.ndarray:
+    """Trilinear sample of a single volume.
+
+    Args:
+      vol: (D, H, W, C) channels-last volume.
+      coords: (..., 3) normalized (x, y, z) coords in [-1, 1].
+      align_corners / padding_mode: torch grid_sample semantics.
+      out_dtype: accumulation happens in fp32; result is cast to this.
+
+    Returns:
+      (..., C) sampled values.
+    """
+    D, H, W, C = vol.shape
+    border = padding_mode == 'border'
+    lead = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    xi, xw, xm = _prep_axis(c[:, 0], W, align_corners, border)
+    yi, yw, ym = _prep_axis(c[:, 1], H, align_corners, border)
+    zi, zw, zm = _prep_axis(c[:, 2], D, align_corners, border)
+
+    flat = vol.reshape(D * H * W, C)
+    out = jnp.zeros((c.shape[0], C), dtype=jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (zw[dz] * yw[dy] * xw[dx])
+                inb = zm[dz] & ym[dy] & xm[dx]
+                w = jnp.where(inb, w, 0.0)
+                idx = (zi[dz] * H + yi[dy]) * W + xi[dx]
+                vals = jnp.take(flat, idx, axis=0).astype(jnp.float32)
+                out = out + vals * w[:, None]
+    out = out.reshape(*lead, C)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def batched_grid_sample_3d(vol: jnp.ndarray,
+                           coords: jnp.ndarray,
+                           align_corners: bool = True,
+                           padding_mode: str = 'zeros',
+                           out_dtype: Optional[jnp.dtype] = jnp.float32
+                           ) -> jnp.ndarray:
+    """vmap of grid_sample_3d over a leading batch axis.
+
+    Args:
+      vol: (B, D, H, W, C); coords: (B, ..., 3).
+    Returns:
+      (B, ..., C).
+    """
+    fn = functools.partial(grid_sample_3d, align_corners=align_corners,
+                           padding_mode=padding_mode, out_dtype=out_dtype)
+    return jax.vmap(fn)(vol, coords)
+
+
+def sample_outer_product(depth_vol: jnp.ndarray,
+                         feat: jnp.ndarray,
+                         coords: jnp.ndarray,
+                         align_corners: bool = False,
+                         out_dtype: Optional[jnp.dtype] = jnp.float32
+                         ) -> jnp.ndarray:
+    """Trilinear sample of the implicit volume `depth_vol ⊗ feat` (zeros padding).
+
+    Equivalent to `grid_sample_3d(depth_vol[..., None] * feat[None], coords)`
+    without materializing the (D, H, W, C) product: the trilinear weight sum
+    factorizes as sum_{dy,dx} wy*wx*feat[y,x] * (sum_dz wz*depth[z,y,x]).
+
+    Args:
+      depth_vol: (D, H, W) depth distribution (e.g. softmax over D bins).
+      feat: (H, W, C) per-pixel features.
+      coords: (..., 3) normalized (x, y, z); x->W, y->H, z->D.
+
+    Returns:
+      (..., C) lifted features.
+    """
+    D, H, W = depth_vol.shape
+    C = feat.shape[-1]
+    lead = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    xi, xw, xm = _prep_axis(c[:, 0], W, align_corners, False)
+    yi, yw, ym = _prep_axis(c[:, 1], H, align_corners, False)
+    zi, zw, zm = _prep_axis(c[:, 2], D, align_corners, False)
+
+    dflat = depth_vol.reshape(D * H * W)
+    fflat = feat.reshape(H * W, C)
+    out = jnp.zeros((c.shape[0], C), dtype=jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            inb2d = ym[dy] & xm[dx]
+            w2d = jnp.where(inb2d, yw[dy] * xw[dx], 0.0)
+            pix = yi[dy] * W + xi[dx]
+            # depth interpolated along z at this (y, x) corner
+            s = jnp.zeros_like(w2d)
+            for dz in (0, 1):
+                wz = jnp.where(zm[dz], zw[dz], 0.0)
+                s = s + wz * jnp.take(dflat, zi[dz] * H * W + pix).astype(jnp.float32)
+            fv = jnp.take(fflat, pix, axis=0).astype(jnp.float32)
+            out = out + fv * (w2d * s)[:, None]
+    out = out.reshape(*lead, C)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def batched_sample_outer_product(depth_vol: jnp.ndarray,
+                                 feat: jnp.ndarray,
+                                 coords: jnp.ndarray,
+                                 align_corners: bool = False,
+                                 out_dtype: Optional[jnp.dtype] = jnp.float32
+                                 ) -> jnp.ndarray:
+    """vmap of sample_outer_product over a leading (batch*camera) axis."""
+    fn = functools.partial(sample_outer_product, align_corners=align_corners,
+                           out_dtype=out_dtype)
+    return jax.vmap(fn)(depth_vol, feat, coords)
+
+
+# ---------------------------------------------------------------------------
+# Separable align_corners=True linear interpolation (resize) as matmuls.
+# Used for UpsamplingBilinear2d(x4 / x0.5) and the 3D U-Net's trilinear
+# upsampling — static shapes, so the interpolation matrices are constants and
+# the resize runs on the MXU instead of as a gather.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """(out_size, in_size) align_corners=True linear interpolation matrix."""
+    import numpy as np
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if out_size == 1 or in_size == 1:
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        x = i * scale
+        x0 = int(np.floor(x))
+        x1 = min(x0 + 1, in_size - 1)
+        w = x - x0
+        m[i, x0] += 1.0 - w
+        m[i, x1] += w
+    return jnp.asarray(m)
+
+
+def resize_linear(x: jnp.ndarray, out_sizes: Tuple[int, ...],
+                  axes: Tuple[int, ...]) -> jnp.ndarray:
+    """align_corners=True multi-axis linear resize via interpolation matmuls.
+
+    Matches torch's `F.interpolate(..., mode='bilinear'/'trilinear',
+    align_corners=True)` and `nn.UpsamplingBilinear2d` exactly.
+    """
+    dt = x.dtype
+    for ax, out_size in zip(axes, out_sizes):
+        in_size = x.shape[ax]
+        if in_size == out_size:
+            continue
+        m = _interp_matrix(in_size, out_size).astype(jnp.float32)
+        x = jnp.moveaxis(x, ax, -1)
+        x = jnp.einsum('...i,oi->...o', x.astype(jnp.float32), m,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        x = jnp.moveaxis(x, -1, ax)
+    return x.astype(dt)
