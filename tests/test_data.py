@@ -1,0 +1,227 @@
+"""Data pipeline tests: transforms golden vs torch-oracle, and an end-to-end
+dataset read over a fake on-disk mini-nuScenes."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+from vampire_tpu.configs import (HeadConfig, IdaAugConfig, BdaAugConfig,
+                                 DET_CLASSES)
+from vampire_tpu.data import transforms as T
+from vampire_tpu.data.nuscenes import (NuscDetSegDataset, collate, DataLoader,
+                                       MAP_IDX_GENERAL_TO_SEG)
+
+
+# ---------------- golden: ida matrix vs reference img_transform -------------
+
+def _torch_ida(resize, crop, flip, rotate):
+    """nusc_det_seg_dataset.py:111-146 (matrix part only)."""
+    def get_rot(h):
+        return torch.Tensor([[np.cos(h), np.sin(h)], [-np.sin(h), np.cos(h)]])
+    ida_rot = torch.eye(2) * resize
+    ida_tran = -torch.Tensor(crop[:2])
+    if flip:
+        A = torch.Tensor([[-1, 0], [0, 1]])
+        b = torch.Tensor([crop[2] - crop[0], 0])
+        ida_rot = A.matmul(ida_rot)
+        ida_tran = A.matmul(ida_tran) + b
+    A = get_rot(rotate / 180 * np.pi)
+    b = torch.Tensor([crop[2] - crop[0], crop[3] - crop[1]]) / 2
+    b = A.matmul(-b) + b
+    ida_rot = A.matmul(ida_rot)
+    ida_tran = A.matmul(ida_tran) + b
+    m = torch.zeros(4, 4)
+    m[3, 3] = 1
+    m[2, 2] = 1
+    m[:2, :2] = ida_rot
+    m[:2, 3] = ida_tran
+    return m.numpy()
+
+
+@pytest.mark.parametrize('flip', [False, True])
+def test_ida_matrix_matches_reference(flip):
+    got = T.ida_matrix(0.44, (10, 140, 714, 396), flip, 3.5)
+    want = _torch_ida(0.44, (10, 140, 714, 396), flip, 3.5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bda_transform_matches_reference():
+    """nusc_det_seg_dataset.py:149-175 oracle."""
+    rng = np.random.RandomState(0)
+    boxes = rng.randn(5, 9).astype(np.float32)
+    boxes[:, 3:6] = np.abs(boxes[:, 3:6]) + 0.5
+    pts = rng.randn(50, 3).astype(np.float32)
+    for rot, scale, fdx, fdy in [(10.0, 1.05, False, False),
+                                 (-22.5, 0.95, True, False),
+                                 (0.0, 1.0, True, True)]:
+        got_b, got_p, got_m = T.bda_transform(boxes, pts, rot, scale, fdx, fdy)
+        # torch oracle
+        tb = torch.from_numpy(boxes.copy())
+        tp = torch.from_numpy(pts.copy())
+        ang = torch.tensor(rot / 180 * np.pi)
+        rot_m = torch.Tensor([[torch.cos(ang), -torch.sin(ang), 0],
+                              [torch.sin(ang), torch.cos(ang), 0], [0, 0, 1]])
+        scale_m = torch.Tensor([[scale, 0, 0], [0, scale, 0], [0, 0, scale]])
+        flip_m = torch.eye(3)
+        if fdx:
+            flip_m = flip_m @ torch.Tensor([[-1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        if fdy:
+            flip_m = flip_m @ torch.Tensor([[1, 0, 0], [0, -1, 0], [0, 0, 1]])
+        m = flip_m @ (scale_m @ rot_m)
+        tb[:, :3] = (m @ tb[:, :3].unsqueeze(-1)).squeeze(-1)
+        tb[:, 3:6] *= scale
+        tb[:, 6] += ang
+        if fdx:
+            tb[:, 6] = 2 * torch.asin(torch.tensor(1.0)) - tb[:, 6]
+        if fdy:
+            tb[:, 6] = -tb[:, 6]
+        tb[:, 7:] = (m[:2, :2] @ tb[:, 7:].unsqueeze(-1)).squeeze(-1)
+        tp = (m @ tp.unsqueeze(-1)).squeeze(-1)
+        np.testing.assert_allclose(got_b, tb.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got_p, tp.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got_m, m.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_quat_to_rot_matches_formula():
+    rng = np.random.RandomState(1)
+    for _ in range(5):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        r = T.quat_to_rot(q)
+        assert np.allclose(r @ r.T, np.eye(3), atol=1e-9)
+        assert np.allclose(np.linalg.det(r), 1.0, atol=1e-9)
+        # rotating the x axis by yaw-only quaternion
+    yaw = 0.7
+    q = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+    assert abs(T.quat_yaw(q) - yaw) < 1e-9
+
+
+# ---------------- fake mini-nuScenes on disk --------------------------------
+
+def _rot_to_quat(r):
+    w = np.sqrt(max(0.0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
+    x = (r[2, 1] - r[1, 2]) / (4 * w)
+    y = (r[0, 2] - r[2, 0]) / (4 * w)
+    z = (r[1, 0] - r[0, 1]) / (4 * w)
+    return [float(w), float(x), float(y), float(z)]
+
+
+@pytest.fixture(scope='module')
+def fake_nusc(tmp_path_factory):
+    from PIL import Image
+    from vampire_tpu.data.synthetic import camera_rig, _CAM_YAWS
+    root = tmp_path_factory.mktemp('nusc')
+    rng = np.random.RandomState(0)
+    cams = list(IdaAugConfig().cams)
+    rig = camera_rig(1, 6, final_dim=(256, 704))
+    os.makedirs(root / 'imgs', exist_ok=True)
+    os.makedirs(root / 'lidar', exist_ok=True)
+    os.makedirs(root / 'occ', exist_ok=True)
+    infos = []
+    for si in range(2):
+        cam_infos = {}
+        for ci, cam in enumerate(cams):
+            fn = f'imgs/s{si}_{cam}.jpg'
+            Image.fromarray(rng.randint(0, 255, (900, 1600, 3),
+                                        np.uint8)).save(root / fn)
+            s2e = rig['sensor2ego'][0, ci]
+            intr = rig['intrin'][0, ci]
+            cam_infos[cam] = dict(
+                sample_token=f's{si}',
+                ego_pose=dict(rotation=[1.0, 0, 0, 0],
+                              translation=[100.0 + si, 50.0, 0.0]),
+                timestamp=si * 5 + ci,
+                is_key_frame=True, height=900, width=1600, filename=fn,
+                calibrated_sensor=dict(
+                    rotation=_rot_to_quat(s2e[:3, :3]),
+                    translation=s2e[:3, 3].tolist(),
+                    camera_intrinsic=intr[:3, :3].tolist()))
+        npts = 1000
+        pts = np.zeros((npts, 5), np.float32)
+        pts[:, 0] = rng.uniform(-40, 40, npts)
+        pts[:, 1] = rng.uniform(-40, 40, npts)
+        pts[:, 2] = rng.uniform(-3, 3, npts)
+        pts.tofile(root / f'lidar/s{si}.bin')
+        seg = rng.randint(0, 32, npts).astype(np.uint8)
+        seg.tofile(root / f'lidar/s{si}_seg.bin')
+        lidar_infos = {'LIDAR_TOP': dict(
+            sample_token=f's{si}', lidar_token=f'lt{si}',
+            ego_pose=dict(rotation=[1.0, 0, 0, 0],
+                          translation=[100.0 + si, 50.0, 0.0]),
+            timestamp=si * 5,
+            filename=f'lidar/s{si}.bin',
+            calibrated_sensor=dict(rotation=[1.0, 0, 0, 0],
+                                   translation=[0.9, 0.0, 1.8]),
+            lidarseg_labels_filename=f'lidar/s{si}_seg.bin')}
+        sem = rng.randint(0, 18, (200, 200, 16)).astype(np.uint8)
+        np.savez(root / f'occ/s{si}.npz', semantics=sem,
+                 mask_lidar=rng.rand(200, 200, 16) > 0.5,
+                 mask_camera=rng.rand(200, 200, 16) > 0.5)
+        ann_infos = [dict(category_name='vehicle.car',
+                          translation=[105.0 + si, 55.0, 0.5],
+                          size=[1.9, 4.5, 1.6],
+                          rotation=[1.0, 0, 0, 0],
+                          velocity=np.array([1.0, 0.5, 0.0]),
+                          num_lidar_pts=10, num_radar_pts=2),
+                     dict(category_name='static.other',  # -> ignore
+                          translation=[90.0, 40.0, 0.0], size=[1, 1, 1],
+                          rotation=[1.0, 0, 0, 0],
+                          velocity=np.zeros(3),
+                          num_lidar_pts=5, num_radar_pts=0)]
+        infos.append(dict(sample_token=f's{si}', timestamp=si,
+                          scene_token='scene0', cam_infos=cam_infos,
+                          lidar_infos=lidar_infos,
+                          occ_infos=dict(occ_gt_path=f'occ/s{si}.npz'),
+                          cam_sweeps=[], lidar_sweeps=[],
+                          ann_infos=ann_infos))
+    with open(root / 'infos_train.pkl', 'wb') as f:
+        pickle.dump(infos, f)
+    return root
+
+
+def test_dataset_end_to_end(fake_nusc):
+    ds = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(fake_nusc),
+        info_paths=str(fake_nusc / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='train', max_points=2048)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s['imgs'].shape == (6, 256, 704, 3)
+    assert s['sensor2ego'].shape == (6, 4, 4)
+    assert s['depth_labels'].shape == (6, 256, 704)
+    assert (s['depth_labels'] > 0).sum() > 0, 'some lidar points must project'
+    assert s['bev_seg'].shape == (256, 256)
+    assert s['bev_mask'].sum() > 0
+    assert s['points'].shape == (2048, 3)
+    assert s['point_valid'].sum() == 1000
+    assert s['occ_semantics'].shape == (200, 200, 16)
+    assert s['heatmap_0'].shape == (128, 128, 1)
+    # the car annotation lands in task 0 with a gaussian peak
+    assert s['heatmap_0'].max() == 1.0
+    assert s['gt_boxes'].shape[1] == 9 and s['gt_boxes'].shape[0] == 1
+    # box center ~ (5, 5) in ego (ann at +5,+5 from mean pose)
+    np.testing.assert_allclose(s['gt_boxes'][0, :2], [5.0, 5.0], atol=0.2)
+
+    batch = collate([ds[0], ds[1]])
+    assert batch['imgs'].shape == (2, 6, 256, 704, 3)
+    assert batch['meta']['token'] == ['s0', 's1']
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]['points'].shape == (2, 2048, 3)
+
+
+def test_dataset_val_mode(fake_nusc):
+    ds = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(fake_nusc),
+        info_paths=str(fake_nusc / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='val', max_points=2048)
+    s = ds[0]
+    assert 'depth_labels' not in s
+    assert s['occ_semantics'].shape == (200, 200, 16)
+    assert s['imgs'].shape == (6, 256, 704, 3)

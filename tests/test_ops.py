@@ -1,0 +1,202 @@
+"""Tests for lovasz / msssim / focal / target assignment / NMS ops."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vampire_tpu.configs import HeadConfig
+from vampire_tpu.ops import nms as N
+from vampire_tpu.ops import target_assign as T
+from vampire_tpu.ops.lovasz import ce_lovasz, lovasz_softmax, masked_cross_entropy
+from vampire_tpu.ops.msssim import ms_ssim
+
+
+# ---------------- lovasz (oracle: lovasz_losses.py:18-28,171-195) ----------
+
+def _torch_lovasz_grad(gt_sorted):
+    p = len(gt_sorted)
+    gts = gt_sorted.sum()
+    intersection = gts - gt_sorted.float().cumsum(0)
+    union = gts + (1 - gt_sorted).float().cumsum(0)
+    jaccard = 1.0 - intersection / union
+    if p > 1:
+        jaccard[1:p] = jaccard[1:p] - jaccard[0:-1]
+    return jaccard
+
+
+def _torch_lovasz_softmax_flat(probas, labels):
+    C = probas.size(1)
+    losses = []
+    for c in range(C):
+        fg = (labels == c).float()
+        if fg.sum() == 0:
+            continue
+        errors = (fg - probas[:, c]).abs()
+        errors_sorted, perm = torch.sort(errors, 0, descending=True)
+        fg_sorted = fg[perm]
+        losses.append(torch.dot(errors_sorted,
+                                _torch_lovasz_grad(fg_sorted)))
+    return torch.stack(losses).mean()
+
+
+def test_lovasz_matches_reference():
+    rng = np.random.RandomState(0)
+    P, C = 503, 7
+    logits = rng.randn(P, C).astype(np.float32)
+    labels = rng.randint(0, C, P)
+    probas = torch.softmax(torch.from_numpy(logits), dim=1)
+    want = _torch_lovasz_softmax_flat(probas, torch.from_numpy(labels))
+    got = lovasz_softmax(jax.nn.softmax(jnp.asarray(logits), axis=-1),
+                         jnp.asarray(labels))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_lovasz_masked_equals_filtered():
+    rng = np.random.RandomState(1)
+    P, C = 401, 5
+    logits = rng.randn(P, C).astype(np.float32)
+    labels = rng.randint(0, C, P)
+    valid = rng.rand(P) > 0.3
+    got = lovasz_softmax(jax.nn.softmax(jnp.asarray(logits), -1),
+                         jnp.asarray(labels), jnp.asarray(valid))
+    probas = torch.softmax(torch.from_numpy(logits[valid]), dim=1)
+    want = _torch_lovasz_softmax_flat(probas, torch.from_numpy(labels[valid]))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    # absent class handling: restrict labels to a subset
+    labels2 = rng.randint(2, 4, P)
+    got2 = lovasz_softmax(jax.nn.softmax(jnp.asarray(logits), -1),
+                          jnp.asarray(labels2))
+    probas2 = torch.softmax(torch.from_numpy(logits), dim=1)
+    want2 = _torch_lovasz_softmax_flat(probas2, torch.from_numpy(labels2))
+    np.testing.assert_allclose(float(got2), float(want2), rtol=1e-4)
+
+
+def test_masked_ce_matches_torch():
+    rng = np.random.RandomState(2)
+    P, C = 300, 6
+    logits = rng.randn(P, C).astype(np.float32)
+    labels = rng.randint(0, C, P)
+    valid = rng.rand(P) > 0.5
+    got = masked_cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                               jnp.asarray(valid))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits[valid]), torch.from_numpy(labels[valid]))
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+# ---------------- ms-ssim ---------------------------------------------------
+
+def test_msssim_basics():
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 192, 192, 3).astype(np.float32)
+    same = ms_ssim(jnp.asarray(x), jnp.asarray(x))
+    assert float(same) > 0.999
+    noisy = np.clip(x + 0.3 * rng.randn(*x.shape).astype(np.float32), 0, 1)
+    assert float(ms_ssim(jnp.asarray(x), jnp.asarray(noisy))) < 0.9
+
+
+# ---------------- target assignment ----------------------------------------
+
+def test_target_assignment_centerpoint():
+    cfg = HeadConfig()
+    boxes = np.array([
+        [10.0, 5.0, -1.0, 1.9, 4.5, 1.6, 0.3, 1.0, 0.5],   # car (label 0)
+        [-20.0, 8.0, -0.5, 2.5, 8.0, 3.0, -0.4, 0.0, 0.0],  # truck (label 1)
+        [999.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0, 0.0, 0.0],    # out of range
+    ], np.float32)
+    labels = np.array([0, 1, 0])
+    t = T.assign_targets_single(boxes, labels, cfg)
+    W, H = cfg.feature_map_size
+    # car -> task 0, channel 0
+    assert t['heatmap_0'].shape == (H, W, 1)
+    assert t['heatmap_0'].max() == 1.0
+    cx = int((10.0 - cfg.pc_range[0]) / cfg.voxel_size[0] / cfg.out_size_factor)
+    cy = int((5.0 - cfg.pc_range[1]) / cfg.voxel_size[1] / cfg.out_size_factor)
+    assert t['heatmap_0'][cy, cx, 0] == 1.0
+    assert t['ind_0'][0] == cy * W + cx
+    assert t['mask_0'][0] == 1.0
+    # anno box: [dx, dy, z, log dims, sin, cos, vx, vy]
+    np.testing.assert_allclose(t['anno_box_0'][0, 2], -1.0)
+    np.testing.assert_allclose(t['anno_box_0'][0, 3:6],
+                               np.log([1.9, 4.5, 1.6]), rtol=1e-6)
+    np.testing.assert_allclose(t['anno_box_0'][0, 6], np.sin(0.3), rtol=1e-6)
+    np.testing.assert_allclose(t['anno_box_0'][0, 8:], [1.0, 0.5], rtol=1e-6)
+    # truck -> task 1 channel 0
+    assert t['heatmap_1'][..., 0].max() == 1.0
+    assert t['heatmap_1'][..., 1].max() == 0.0
+    # out-of-range box: the third car is dropped (mask only first entry)
+    assert t['mask_0'].sum() == 1.0
+
+
+def test_gaussian_radius_matches_formula():
+    # spot values against the mmdet3d formula
+    r = T.gaussian_radius((10.0, 5.0), 0.1)
+    assert 0 < r < 10
+    a3 = 4 * 0.1
+    b3 = -2 * 0.1 * 15.0
+    c3 = (0.1 - 1) * 50.0
+    r3 = (b3 + np.sqrt(b3 ** 2 - 4 * a3 * c3)) / 2
+    assert r <= r3 + 1e-6
+
+
+# ---------------- NMS -------------------------------------------------------
+
+def test_circle_nms_cpp_vs_numpy():
+    rng = np.random.RandomState(4)
+    dets = np.concatenate([rng.uniform(-50, 50, (200, 2)),
+                           rng.rand(200, 1)], axis=1).astype(np.float32)
+    got = N.circle_nms(dets, thresh=4.0, post_max_size=83)
+    # force numpy fallback
+    lib = N._lib
+    N._lib, N._build_failed = None, True
+    want = N.circle_nms(dets, thresh=4.0, post_max_size=83)
+    N._lib, N._build_failed = lib, False
+    np.testing.assert_array_equal(got, want)
+    # basic property: kept boxes pairwise farther than sqrt(thresh)
+    kept = dets[got]
+    d2 = ((kept[:, None, :2] - kept[None, :, :2]) ** 2).sum(-1)
+    np.fill_diagonal(d2, 1e9)
+    assert d2.min() > 4.0
+
+
+def test_size_aware_nms_cpp_vs_numpy():
+    rng = np.random.RandomState(5)
+    dets = np.concatenate([
+        rng.uniform(-50, 50, (100, 2)), rng.uniform(1, 5, (100, 2)),
+        rng.uniform(-np.pi, np.pi, (100, 1)), rng.rand(100, 1)],
+        axis=1).astype(np.float32)
+    got = N.size_aware_circle_nms(dets, thresh_scale=1.0, post_max_size=83)
+    lib = N._lib
+    N._lib, N._build_failed = None, True
+    want = N.size_aware_circle_nms(dets, thresh_scale=1.0, post_max_size=83)
+    N._lib, N._build_failed = lib, False
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rasterizers_cpp_vs_numpy():
+    rng = np.random.RandomState(6)
+    uvdl = np.concatenate([rng.uniform(-5, 60, (500, 2)),
+                           rng.uniform(1, 60, (500, 1)),
+                           rng.randint(0, 17, (500, 1)).astype(np.float64)],
+                          axis=1).astype(np.float32)
+    d1, l1 = N.rasterize_depth(uvdl, 48, 56)
+    lib = N._lib
+    N._lib, N._build_failed = None, True
+    d2, l2 = N.rasterize_depth(uvdl, 48, 56)
+    N._lib, N._build_failed = lib, False
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(l1, l2)
+
+    xyzl = np.concatenate([rng.uniform(-5, 40, (500, 2)),
+                           rng.uniform(-3, 3, (500, 1)),
+                           rng.randint(0, 17, (500, 1)).astype(np.float64)],
+                          axis=1).astype(np.float32)
+    s1, h1, m1 = N.rasterize_bev(xyzl, 32, 32)
+    N._lib, N._build_failed = None, True
+    s2, h2, m2 = N.rasterize_bev(xyzl, 32, 32)
+    N._lib, N._build_failed = lib, False
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(m1, m2)

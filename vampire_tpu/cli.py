@@ -1,0 +1,103 @@
+"""Experiment CLI (reference `run_cli`, src/exps/base_cli.py:12-136).
+
+Usage:
+  python -m vampire_tpu.cli --exp lss_inpaintor_depth_semantic          # fit
+  python -m vampire_tpu.cli --exp ... -v --ckpt-step 23                 # validate
+  python -m vampire_tpu.cli --exp ... -t                                # test (det)
+  python -m vampire_tpu.cli --exp ... -p                                # predict/submit
+
+Defaults mirror the reference trainer config (base_cli.py:69-92): bf16 compute
+with fp32 islands (the reference uses fp16 AMP), grad clip 35, val every 4
+epochs, max_epochs 24, per-device batch via -b, seed 0.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser('vampire-tpu')
+    p.add_argument('--exp', default='lss_inpaintor_depth_semantic',
+                   help='ablation name (configs.ablation_config) or "flagship"')
+    p.add_argument('-v', '--validate', action='store_true')
+    p.add_argument('-t', '--test', action='store_true')
+    p.add_argument('-p', '--predict', action='store_true')
+    p.add_argument('--vis', action='store_true')
+    p.add_argument('--debug', action='store_true',
+                   help='CPU tiny-config smoke run (reference --debug)')
+    p.add_argument('--trainval', action='store_true')
+    p.add_argument('-b', '--batch-size-per-device', type=int, default=8)
+    p.add_argument('--max-epochs', type=int, default=24)
+    p.add_argument('--data-root', default='data/nuScenes')
+    p.add_argument('--workdir', default='./outputs')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--ckpt-step', type=int, default=None)
+    p.add_argument('--use-ema', action='store_true')
+    p.add_argument('--num-workers', type=int, default=4)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.debug:
+        os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    import jax
+    if args.debug:
+        jax.config.update('jax_platforms', 'cpu')
+    from .configs import ablation_config, flagship_config, DET_CLASSES
+    from .data.nuscenes import DataLoader, NuscDetSegDataset
+    from .data.synthetic import tiny_config
+    from .training.trainer import Trainer
+
+    if args.debug:
+        cfg = tiny_config()
+    elif args.exp == 'flagship':
+        cfg = flagship_config()
+    else:
+        cfg = ablation_config(args.exp)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train,
+        batch_size_per_device=args.batch_size_per_device,
+        max_epochs=args.max_epochs,
+        data_root=args.data_root,
+        num_devices=jax.device_count(),
+        use_ema=args.use_ema,
+        seed=args.seed))
+
+    trainer = Trainer(cfg, workdir=args.workdir)
+    data_root = args.data_root
+
+    def make_loader(split: str, mode: str, shuffle: bool):
+        info = os.path.join(data_root, f'nuscenes_occ_infos_{split}.pkl')
+        ds = NuscDetSegDataset(
+            ida_aug=cfg.ida_aug, bda_aug=cfg.bda_aug,
+            classes=list(DET_CLASSES), data_root=data_root, info_paths=info,
+            head_cfg=cfg.head, mode=mode,
+            max_points=cfg.train.max_points, seed=args.seed)
+        global_batch = cfg.train.batch_size_per_device * jax.device_count()
+        return DataLoader(ds, batch_size=global_batch, shuffle=shuffle,
+                          num_workers=args.num_workers, seed=args.seed)
+
+    if args.validate or args.test or args.predict:
+        loader = make_loader('val' if not args.predict else 'test',
+                             'val' if not args.predict else 'test', False)
+        first = next(iter(loader))
+        state = trainer.init_state(first, steps_per_epoch=max(1, len(loader)))
+        state = trainer.restore_checkpoint(state, step=args.ckpt_step,
+                                           weights_only=True)
+        if args.validate:
+            trainer.validate(loader, state)
+        else:
+            trainer.test(loader, state)
+        return
+
+    train_loader = make_loader('trainval' if args.trainval else 'train',
+                               'train', True)
+    val_loader = make_loader('val', 'val', False)
+    trainer.fit(train_loader, val_loader)
+
+
+if __name__ == '__main__':
+    main()

@@ -84,6 +84,10 @@ class BackboneConfig:
     img_neck_out_channels: Tuple[int, ...] = (128, 128, 128, 128)
     # which field backbone: 'vampire2' | 'lss' | 'lss_inpaintor' | 'bilinear'
     variant: str = 'vampire2'
+    # Occ3D grid (base_vampire2.py:295-312)
+    occ_pc_range: Tuple[float, ...] = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
+    occ_voxel_size: Tuple[float, float, float] = (0.4, 0.4, 0.4)
+    occ_grid: Tuple[int, int, int] = (200, 200, 16)
 
     @property
     def img_out_channels(self) -> int:

@@ -179,13 +179,17 @@ def batched_sample_outer_product(depth_vol: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix(in_size: int, out_size: int) -> jnp.ndarray:
-    """(out_size, in_size) align_corners=True linear interpolation matrix."""
+def _interp_matrix(in_size: int, out_size: int):
+    """(out_size, in_size) align_corners=True linear interpolation matrix.
+
+    Returns numpy (NOT jnp): caching a device array created inside a trace
+    would leak tracers across jit boundaries.
+    """
     import numpy as np
     m = np.zeros((out_size, in_size), dtype=np.float32)
     if out_size == 1 or in_size == 1:
         m[:, 0] = 1.0
-        return jnp.asarray(m)
+        return m
     scale = (in_size - 1) / (out_size - 1)
     for i in range(out_size):
         x = i * scale
@@ -194,7 +198,7 @@ def _interp_matrix(in_size: int, out_size: int) -> jnp.ndarray:
         w = x - x0
         m[i, x0] += 1.0 - w
         m[i, x1] += w
-    return jnp.asarray(m)
+    return m
 
 
 def resize_linear(x: jnp.ndarray, out_sizes: Tuple[int, ...],
@@ -209,7 +213,7 @@ def resize_linear(x: jnp.ndarray, out_sizes: Tuple[int, ...],
         in_size = x.shape[ax]
         if in_size == out_size:
             continue
-        m = _interp_matrix(in_size, out_size).astype(jnp.float32)
+        m = jnp.asarray(_interp_matrix(in_size, out_size))
         x = jnp.moveaxis(x, ax, -1)
         x = jnp.einsum('...i,oi->...o', x.astype(jnp.float32), m,
                        preferred_element_type=jnp.float32,

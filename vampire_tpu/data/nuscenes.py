@@ -1,0 +1,439 @@
+"""nuScenes dataset: info-pkl driven, numpy host pipeline (no torch).
+
+Re-derives `NuscDetSegDataset` (nusc_det_seg_dataset.py:374-946) for the TPU
+input pipeline:
+
+  * samples come from the offline info pickles written by
+    `scripts/gen_info.py` (same schema as the reference's
+    nuscenes_occ_infos_{train,val}.pkl);
+  * per-camera matrices are built from quaternions exactly like
+    get_image (:599-659): sensor2ego through the global frame of the key
+    ego pose, sensor2sensor for sweep frames, 4x4 intrinsics, ida homography;
+  * LiDAR depth/label projection to each image (train), ego-frame point cloud
+    with lidarseg labels, BEV seg/height raster, Occ3D npz labels;
+  * ragged things (points, GT boxes) are padded to static sizes and
+    CenterPoint targets are assigned host-side (ops.target_assign), so every
+    batch has identical shapes for jit.
+
+Class-name maps copied semantics (:16-83).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configs import (BdaAugConfig, HeadConfig, IdaAugConfig, VampireConfig,
+                       DET_CLASSES, IMG_MEAN, IMG_STD)
+from ..ops.target_assign import assign_targets_single
+from . import transforms as T
+
+MAP_NAME_GENERAL_TO_DET_SEG = {
+    'animal': 'ignore',
+    'human.pedestrian.adult': 'pedestrian',
+    'human.pedestrian.child': 'pedestrian',
+    'human.pedestrian.construction_worker': 'pedestrian',
+    'human.pedestrian.personal_mobility': 'ignore',
+    'human.pedestrian.police_officer': 'pedestrian',
+    'human.pedestrian.stroller': 'ignore',
+    'human.pedestrian.wheelchair': 'ignore',
+    'movable_object.barrier': 'barrier',
+    'movable_object.debris': 'ignore',
+    'movable_object.pushable_pullable': 'ignore',
+    'movable_object.trafficcone': 'traffic_cone',
+    'static_object.bicycle_rack': 'ignore',
+    'vehicle.bicycle': 'bicycle',
+    'vehicle.bus.bendy': 'bus',
+    'vehicle.bus.rigid': 'bus',
+    'vehicle.car': 'car',
+    'vehicle.construction': 'construction_vehicle',
+    'vehicle.emergency.ambulance': 'ignore',
+    'vehicle.emergency.police': 'ignore',
+    'vehicle.motorcycle': 'motorcycle',
+    'vehicle.trailer': 'trailer',
+    'vehicle.truck': 'truck',
+    'flat.driveable_surface': 'driveable_surface',
+    'flat.other': 'other_flat',
+    'flat.sidewalk': 'sidewalk',
+    'flat.terrain': 'terrain',
+    'static.manmade': 'manmade',
+    'static.other': 'ignore',
+    'static.vegetation': 'vegetation',
+    'vehicle.ego': 'ignore',
+}
+
+# raw lidarseg (32 classes) -> 17-class ids (nusc_det_seg_dataset.py:50-83)
+MAP_IDX_GENERAL_TO_SEG = np.array(
+    [0, 0, 7, 7, 7, 0, 7, 0, 0, 1, 0, 0, 8, 0, 2, 3, 3, 4, 5, 0, 0, 6, 9,
+     10, 11, 12, 13, 14, 15, 0, 16, 0], dtype=np.int8)
+
+
+def _load_infos(info_paths) -> List[dict]:
+    paths = info_paths if isinstance(info_paths, (list, tuple)) else [info_paths]
+    infos: List[dict] = []
+    for p in paths:
+        with open(p, 'rb') as f:
+            infos.extend(pickle.load(f))
+    return infos
+
+
+class NuscDetSegDataset:
+    """Map-style dataset returning per-sample dicts of numpy arrays."""
+
+    def __init__(self,
+                 ida_aug: IdaAugConfig,
+                 bda_aug: BdaAugConfig,
+                 classes: Sequence[str],
+                 data_root: str,
+                 info_paths,
+                 head_cfg: HeadConfig,
+                 mode: str = 'train',
+                 use_cbgs: bool = False,
+                 num_sweeps: int = 1,
+                 img_mean=IMG_MEAN,
+                 img_std=IMG_STD,
+                 sweep_idxes: Sequence[int] = (),
+                 key_idxes: Sequence[int] = (),
+                 max_points: int = 36864,
+                 seed: int = 0):
+        self.infos = _load_infos(info_paths)
+        self.mode = mode
+        self.ida_aug = ida_aug
+        self.bda_aug = bda_aug
+        self.classes = list(classes)
+        self.data_root = data_root
+        self.head_cfg = head_cfg
+        self.use_cbgs = use_cbgs
+        self.num_sweeps = num_sweeps
+        self.img_mean = np.asarray(img_mean, np.float32)
+        self.img_std = np.asarray(img_std, np.float32)
+        self.sweeps_idx = list(sweep_idxes)
+        self.key_idxes = [0] + list(key_idxes)
+        self.max_points = max_points
+        self.rng = np.random.RandomState(seed)
+        if use_cbgs:
+            self.cat2id = {n: i for i, n in enumerate(self.classes)}
+            self.sample_indices = self._get_sample_indices()
+
+    # ------------------------------------------------------------------
+    def _get_sample_indices(self) -> List[int]:
+        """CBGS class-balanced resampling (:437-470)."""
+        class_sample_idxs: Dict[int, List[int]] = {
+            i: [] for i in self.cat2id.values()}
+        for idx, info in enumerate(self.infos):
+            names = set(a['category_name'] for a in info['ann_infos'])
+            for name in names:
+                mapped = MAP_NAME_GENERAL_TO_DET_SEG.get(name, 'ignore')
+                if mapped in self.classes:
+                    class_sample_idxs[self.cat2id[mapped]].append(idx)
+        duplicated = sum(len(v) for v in class_sample_idxs.values())
+        dist = {k: len(v) / duplicated for k, v in class_sample_idxs.items()}
+        out: List[int] = []
+        frac = 1.0 / len(self.classes)
+        for cls_inds, ratio in zip(class_sample_idxs.values(),
+                                   [frac / v for v in dist.values()]):
+            out += self.rng.choice(cls_inds,
+                                   int(len(cls_inds) * ratio)).tolist()
+        return out
+
+    def __len__(self) -> int:
+        return len(self.sample_indices) if self.use_cbgs else len(self.infos)
+
+    # ------------------------------------------------------------------
+    def _sample_ida(self):
+        """(:472-499)."""
+        H, W = self.ida_aug.H, self.ida_aug.W
+        fH, fW = self.ida_aug.final_dim
+        if self.mode == 'train':
+            resize = self.rng.uniform(*self.ida_aug.resize_lim)
+            resize_dims = (int(W * resize), int(H * resize))
+            newW, newH = resize_dims
+            crop_h = int((1 - self.rng.uniform(*self.ida_aug.bot_pct_lim))
+                         * newH) - fH
+            crop_w = int(self.rng.uniform(0, max(0, newW - fW)))
+            crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+            flip = bool(self.ida_aug.rand_flip and self.rng.choice([0, 1]))
+            rotate = self.rng.uniform(*self.ida_aug.rot_lim)
+        else:
+            resize = max(fH / H, fW / W)
+            resize_dims = (int(W * resize), int(H * resize))
+            newW, newH = resize_dims
+            crop_h = int((1 - np.mean(self.ida_aug.bot_pct_lim)) * newH) - fH
+            crop_w = int(max(0, newW - fW) / 2)
+            crop = (crop_w, crop_h, crop_w + fW, crop_h + fH)
+            flip, rotate = False, 0.0
+        return resize, resize_dims, crop, flip, rotate
+
+    def _sample_bda(self):
+        if self.mode == 'train':
+            return (self.rng.uniform(*self.bda_aug.rot_lim),
+                    self.rng.uniform(*self.bda_aug.scale_lim),
+                    self.rng.uniform() < self.bda_aug.flip_dx_ratio,
+                    self.rng.uniform() < self.bda_aug.flip_dy_ratio)
+        return 0.0, 1.0, False, False
+
+    def _choose_cams(self):
+        if self.mode == 'train' and self.ida_aug.n_cams < len(self.ida_aug.cams):
+            return list(self.rng.choice(self.ida_aug.cams, self.ida_aug.n_cams,
+                                        replace=False))
+        return list(self.ida_aug.cams)
+
+    # ------------------------------------------------------------------
+    def _get_lidar(self, lidar_info) -> Tuple[np.ndarray, np.ndarray]:
+        """Key-frame cloud + 17-class labels (:530-558)."""
+        path = os.path.join(self.data_root,
+                            lidar_info['LIDAR_TOP']['filename'])
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :4]
+        seg_path = lidar_info['LIDAR_TOP'].get('lidarseg_labels_filename')
+        if seg_path is not None:
+            labels = np.fromfile(os.path.join(self.data_root, seg_path),
+                                 dtype=np.uint8)
+            labels = MAP_IDX_GENERAL_TO_SEG[labels]
+        else:
+            labels = np.zeros(pts.shape[0], np.int8)
+        return pts, labels
+
+    def _lidar_to_image(self, pts4: np.ndarray, labels: np.ndarray,
+                        img_size, lidar_info, cam_info):
+        """Project cloud into one camera (map_pointcloud_to_image, :312-371).
+        Returns (N, 3) [u, v, depth] + labels."""
+        lcs = lidar_info['LIDAR_TOP']['calibrated_sensor']
+        lep = lidar_info['LIDAR_TOP']['ego_pose']
+        ccs = cam_info['calibrated_sensor']
+        cep = cam_info['ego_pose']
+        p = pts4[:, :3].astype(np.float64)
+        p = p @ T.quat_to_rot(lcs['rotation']).T + np.asarray(lcs['translation'])
+        p = p @ T.quat_to_rot(lep['rotation']).T + np.asarray(lep['translation'])
+        p = (p - np.asarray(cep['translation'])) @ T.quat_to_rot(cep['rotation'])
+        p = (p - np.asarray(ccs['translation'])) @ T.quat_to_rot(ccs['rotation'])
+        depth = p[:, 2]
+        K = np.asarray(ccs['camera_intrinsic'], np.float64)
+        uvw = p @ K.T
+        uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-9)
+        W, H = img_size
+        m = ((depth > 0.0) & (uv[:, 0] > 1) & (uv[:, 0] < W - 1)
+             & (uv[:, 1] > 1) & (uv[:, 1] < H - 1))
+        return (np.concatenate([uv[m], depth[m, None]], 1).astype(np.float32),
+                labels[m])
+
+    def _lidar_to_ego(self, pts4: np.ndarray, lidar_info) -> np.ndarray:
+        """Cloud -> key lidar-ego frame (map_pointcloud_to_bev, :267-310:
+        returns the UNFILTERED cloud; ref_index is the identity)."""
+        lcs = lidar_info['LIDAR_TOP']['calibrated_sensor']
+        p = pts4[:, :3].astype(np.float64)
+        p = p @ T.quat_to_rot(lcs['rotation']).T + np.asarray(lcs['translation'])
+        return p.astype(np.float32)
+
+    def _cam_matrices(self, key_info_cam: dict, sweep_info_cam: dict):
+        """sensor2(key)ego / keysensor2sweepsensor / intrin (:604-659)."""
+        sweep_s2e = T.pose_matrix(sweep_info_cam['calibrated_sensor']['rotation'],
+                                  sweep_info_cam['calibrated_sensor']['translation'])
+        sweep_e2g = T.pose_matrix(sweep_info_cam['ego_pose']['rotation'],
+                                  sweep_info_cam['ego_pose']['translation'])
+        key_e2g = T.pose_matrix(key_info_cam['ego_pose']['rotation'],
+                                key_info_cam['ego_pose']['translation'])
+        key_s2e = T.pose_matrix(key_info_cam['calibrated_sensor']['rotation'],
+                                key_info_cam['calibrated_sensor']['translation'])
+        g2keyego = np.linalg.inv(key_e2g)
+        sweepsensor2keyego = g2keyego @ sweep_e2g @ sweep_s2e
+        keysensor2sweepsensor = np.linalg.inv(
+            np.linalg.inv(key_s2e) @ g2keyego @ sweep_e2g @ sweep_s2e)
+        intrin = np.zeros((4, 4), np.float64)
+        intrin[3, 3] = 1
+        intrin[:3, :3] = np.asarray(
+            sweep_info_cam['calibrated_sensor']['camera_intrinsic'])
+        return (sweepsensor2keyego.astype(np.float32),
+                keysensor2sweepsensor.astype(np.float32),
+                intrin.astype(np.float32))
+
+    def _get_gt(self, info, cams) -> Tuple[np.ndarray, np.ndarray]:
+        """GT boxes in mean-camera ego frame (:728-773)."""
+        rots = np.mean([info['cam_infos'][c]['ego_pose']['rotation']
+                        for c in cams], 0)
+        trans = np.mean([info['cam_infos'][c]['ego_pose']['translation']
+                         for c in cams], 0)
+        # inverse rotation of the mean key ego pose (pyquaternion .inverse;
+        # quat_to_rot normalizes internally so the conjugate suffices)
+        w, x, y, z = rots
+        inv_q = np.array([w, -x, -y, -z])
+        rot = T.quat_to_rot(inv_q)
+        boxes, labels = [], []
+        for ann in info['ann_infos']:
+            name = MAP_NAME_GENERAL_TO_DET_SEG.get(ann['category_name'],
+                                                   'ignore')
+            if name not in self.classes:
+                continue
+            if ann['num_lidar_pts'] + ann['num_radar_pts'] <= 0:
+                continue
+            center = np.asarray(ann['translation'], np.float64) - trans
+            center = rot @ center
+            q = np.asarray(ann['rotation'], np.float64)
+            box_rot = rot @ T.quat_to_rot(q)
+            yaw = np.arctan2(box_rot[1, 0], box_rot[0, 0])
+            wlh = np.asarray(ann['size'], np.float64)
+            vel = rot @ np.array([ann['velocity'][0], ann['velocity'][1], 0.0])
+            boxes.append(np.concatenate([
+                center, wlh[[1, 0, 2]], [yaw], vel[:2]]).astype(np.float32))
+            labels.append(self.classes.index(name))
+        if not boxes:
+            return np.zeros((0, 9), np.float32), np.zeros((0,), np.int64)
+        return np.stack(boxes), np.asarray(labels, np.int64)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        from PIL import Image
+        if self.use_cbgs:
+            idx = self.sample_indices[idx]
+        info = self.infos[idx]
+        cams = self._choose_cams()
+        key_cam_infos = info['cam_infos']
+        lidar_info = info['lidar_infos']
+
+        pts4, pt_labels = self._get_lidar(lidar_info)
+        resize, resize_dims, crop, flip, rotate = self._sample_ida()
+        fH, fW = self.ida_aug.final_dim
+
+        imgs, s2e_mats, intrin_mats, ida_mats, s2s_mats = [], [], [], [], []
+        depth_maps, label_maps = [], []
+        ida_mat = T.ida_matrix(resize, crop, flip, rotate)
+        for cam in cams:
+            ci = key_cam_infos[cam]
+            img = Image.open(os.path.join(self.data_root, ci['filename']))
+            s2e, s2s, intrin = self._cam_matrices(ci, ci)
+            s2e_mats.append(s2e)
+            s2s_mats.append(s2s)
+            intrin_mats.append(intrin)
+            ida_mats.append(ida_mat)
+            if self.mode == 'train':
+                uvd, lab = self._lidar_to_image(pts4, pt_labels, img.size,
+                                                lidar_info, ci)
+                dmap, lmap = T.make_depth_label(uvd, lab, resize, (fH, fW),
+                                                crop, flip, rotate)
+                depth_maps.append(dmap)
+                label_maps.append(lmap)
+            img = T.apply_img_transform(img, resize_dims, crop, flip, rotate)
+            imgs.append(T.normalize_image(np.asarray(img), self.img_mean,
+                                          self.img_std))
+
+        ego_pts = self._lidar_to_ego(pts4, lidar_info)
+        gt_boxes, gt_labels = (self._get_gt(info, cams)
+                               if self.mode == 'train'
+                               else (np.zeros((0, 9), np.float32),
+                                     np.zeros((0,), np.int64)))
+        rot_bda, scale_bda, flip_dx, flip_dy = self._sample_bda()
+        gt_boxes, ego_pts, bda_rot = T.bda_transform(
+            gt_boxes, ego_pts, rot_bda, scale_bda, flip_dx, flip_dy)
+        bda_mat = np.eye(4, dtype=np.float32)
+        bda_mat[:3, :3] = bda_rot
+
+        sample: Dict[str, object] = dict(
+            imgs=np.stack(imgs),                        # (N, H, W, 3)
+            sensor2ego=np.stack(s2e_mats),
+            intrin=np.stack(intrin_mats),
+            ida=np.stack(ida_mats),
+            sensor2sensor=np.stack(s2s_mats),
+            bda=bda_mat,
+            token=info['sample_token'],
+            lidar_token=lidar_info['LIDAR_TOP'].get('lidar_token', ''),
+            ego2global_rotation=np.mean(
+                [key_cam_infos[c]['ego_pose']['rotation'] for c in cams], 0),
+            ego2global_translation=np.mean(
+                [key_cam_infos[c]['ego_pose']['translation'] for c in cams], 0),
+        )
+
+        # padded point cloud (replaces ragged inrange_pts; ref_index is the
+        # identity in the reference, :294-310)
+        P = self.max_points
+        n = min(ego_pts.shape[0], P)
+        pts_pad = np.zeros((P, 3), np.float32)
+        lab_pad = np.zeros((P,), np.int32)
+        pts_pad[:n] = ego_pts[:n]
+        lab_pad[:n] = pt_labels[:n]
+        valid = np.zeros((P,), bool)
+        valid[:n] = True
+        sample.update(points=pts_pad, point_labels=lab_pad, point_valid=valid,
+                      num_points=np.int32(n))
+
+        if self.mode == 'train':
+            sample['depth_labels'] = np.stack(depth_maps)     # (N, fH, fW)
+            sample['seg_labels'] = np.stack(label_maps).astype(np.int32)
+            seg, height, mask = T.make_bev_seg_map(ego_pts, pt_labels)
+            sample.update(bev_seg=seg, bev_height=height, bev_mask=mask)
+            sample.update(assign_targets_single(gt_boxes, gt_labels,
+                                                self.head_cfg))
+        sample['gt_boxes'] = gt_boxes
+        sample['gt_labels'] = gt_labels
+
+        if self.mode != 'test':
+            occ = np.load(os.path.join(self.data_root,
+                                       info['occ_infos']['occ_gt_path']))
+            sem = occ['semantics'].astype(np.int32)
+            sample.update(
+                occ_semantics=sem,
+                occ_density_labels=(sem != 17).astype(np.float32),
+                mask_lidar=occ['mask_lidar'].astype(bool),
+                mask_camera=occ['mask_camera'].astype(bool))
+        return sample
+
+
+# ---------------------------------------------------------------------------
+# Collate + a simple threaded prefetching loader (host-side input pipeline)
+# ---------------------------------------------------------------------------
+
+_HOST_KEYS = ('token', 'lidar_token', 'ego2global_rotation',
+              'ego2global_translation', 'gt_boxes', 'gt_labels')
+
+
+def collate(samples: List[Dict[str, object]]) -> Dict[str, object]:
+    """Stack numpy arrays; keep eval metadata as host lists under 'meta'."""
+    out: Dict[str, object] = {}
+    meta = {k: [s[k] for s in samples] for k in _HOST_KEYS if k in samples[0]}
+    for k, v in samples[0].items():
+        if k in _HOST_KEYS:
+            continue
+        out[k] = np.stack([s[k] for s in samples])
+    out['meta'] = meta
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching loader (stand-in for torch DataLoader workers)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 4, drop_last: bool = True, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        import concurrent.futures as cf
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            futures = []
+            def submit(bi):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                futures.append(pool.submit(
+                    lambda ii: collate([self.dataset[int(i)] for i in ii]),
+                    idxs))
+            for bi in range(min(self.prefetch, n_batches)):
+                submit(bi)
+            for bi in range(n_batches):
+                batch = futures.pop(0).result()
+                nxt = bi + self.prefetch
+                if nxt < n_batches:
+                    submit(nxt)
+                yield batch

@@ -1,0 +1,194 @@
+"""nuScenes detection submission writer + official eval runner.
+
+Re-derives `DetNuscEvaluator` (src/evaluators/det_evaluators.py:15-299)
+without mmcv/pyquaternion: boxes decoded in the (bda'd) key-ego frame are
+rotated/translated into the global frame, given attribute heuristics, and
+written as a nuScenes submission json. Running the official `NuScenesEval`
+requires nuscenes-devkit + the dataset (gated import).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.transforms import quat_to_rot
+
+DEFAULT_ATTRIBUTE = {
+    'car': 'vehicle.parked',
+    'pedestrian': 'pedestrian.moving',
+    'trailer': 'vehicle.parked',
+    'truck': 'vehicle.parked',
+    'bus': 'vehicle.moving',
+    'motorcycle': 'cycle.without_rider',
+    'construction_vehicle': 'vehicle.parked',
+    'bicycle': 'cycle.without_rider',
+    'barrier': '',
+    'traffic_cone': '',
+}
+
+ERR_NAME_MAPPING = {
+    'trans_err': 'mATE', 'scale_err': 'mASE', 'orient_err': 'mAOE',
+    'vel_err': 'mAVE', 'attr_err': 'mAAE',
+}
+
+
+def _quat_multiply(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _yaw_quat(yaw: float) -> np.ndarray:
+    return np.array([np.cos(yaw / 2.0), 0.0, 0.0, np.sin(yaw / 2.0)])
+
+
+class DetNuscEvaluator:
+    def __init__(self, class_names: Sequence[str],
+                 output_dir: str,
+                 eval_version: str = 'detection_cvpr_2019',
+                 data_root: str = './data/nuScenes',
+                 version: str = 'v1.0-trainval',
+                 modality: Optional[dict] = None):
+        self.class_names = list(class_names)
+        self.output_dir = output_dir
+        self.eval_version = eval_version
+        self.data_root = data_root
+        self.version = version
+        self.modality = modality or dict(use_lidar=False, use_camera=True,
+                                         use_radar=False, use_map=False,
+                                         use_external=False)
+
+    def _attr(self, name: str, velocity) -> str:
+        """Attribute heuristics (det_evaluators.py:254-274)."""
+        if np.sqrt(velocity[0] ** 2 + velocity[1] ** 2) > 0.2:
+            if name in ('car', 'construction_vehicle', 'bus', 'truck',
+                        'trailer'):
+                return 'vehicle.moving'
+            if name in ('bicycle', 'motorcycle'):
+                return 'cycle.with_rider'
+            return DEFAULT_ATTRIBUTE[name]
+        if name == 'pedestrian':
+            return 'pedestrian.standing'
+        if name == 'bus':
+            return 'vehicle.stopped'
+        return DEFAULT_ATTRIBUTE[name]
+
+    def format_bbox(self, results: List, img_metas: List[dict]) -> str:
+        """results: list of (boxes (M, 9), scores (M,), labels (M,)) per
+        sample (post-NMS host arrays); img_metas: dicts with token +
+        ego2global_{rotation,translation}. Writes results_nusc.json."""
+        nusc_annos: Dict[str, list] = {}
+        for det, meta in zip(results, img_metas):
+            boxes, scores, labels = det[:3]
+            token = meta['token']
+            trans = np.asarray(meta['ego2global_translation'], np.float64)
+            rot_q = np.asarray(meta['ego2global_rotation'], np.float64)
+            rot_q = rot_q / np.linalg.norm(rot_q)
+            rot_m = quat_to_rot(rot_q)
+            annos = []
+            for i, box in enumerate(np.asarray(boxes)):
+                name = self.class_names[int(labels[i])]
+                center = box[:3].astype(np.float64)
+                wlh = box[[4, 3, 5]].astype(np.float64)
+                yaw = float(box[6])
+                vel = np.array([box[7], box[8], 0.0], np.float64)
+                # Box.rotate(q) then translate (det_evaluators.py:250-253)
+                center = rot_m @ center + trans
+                quat = _quat_multiply(rot_q, _yaw_quat(yaw))
+                vel = rot_m @ vel
+                annos.append(dict(
+                    sample_token=token,
+                    translation=center.tolist(),
+                    size=wlh.tolist(),
+                    rotation=quat.tolist(),
+                    velocity=vel[:2].tolist(),
+                    detection_name=name,
+                    detection_score=float(scores[i]),
+                    attribute_name=self._attr(name, vel),
+                ))
+            nusc_annos.setdefault(token, []).extend(annos)
+        os.makedirs(self.output_dir, exist_ok=True)
+        res_path = os.path.join(self.output_dir, 'results_nusc.json')
+        with open(res_path, 'w') as f:
+            json.dump({'meta': self.modality, 'results': nusc_annos}, f)
+        return res_path
+
+    def evaluate(self, results: List, img_metas: List[dict]
+                 ) -> Optional[dict]:
+        """Write submission, then run official NuScenesEval if the devkit and
+        dataset are available (det_evaluators.py:61-117). Returns the metric
+        detail dict or None when the devkit is unavailable."""
+        result_path = self.format_bbox(results, img_metas)
+        try:
+            from nuscenes import NuScenes
+            from nuscenes.eval.detection.config import config_factory
+            from nuscenes.eval.detection.evaluate import NuScenesEval
+        except ImportError:
+            print(f'nuscenes-devkit unavailable; submission written to '
+                  f'{result_path}')
+            return None
+        nusc = NuScenes(version=self.version, dataroot=self.data_root,
+                        verbose=False)
+        eval_set = {'v1.0-mini': 'mini_val', 'v1.0-trainval': 'val'}[self.version]
+        nusc_eval = NuScenesEval(nusc,
+                                 config=config_factory(self.eval_version),
+                                 result_path=result_path, eval_set=eval_set,
+                                 output_dir=self.output_dir, verbose=False)
+        nusc_eval.main(render_curves=False)
+        with open(os.path.join(self.output_dir, 'metrics_summary.json')) as f:
+            metrics = json.load(f)
+        detail = {}
+        prefix = 'img_bbox_NuScenes'
+        for cls in self.class_names:
+            for k, v in metrics['label_aps'][cls].items():
+                detail[f'{prefix}/{cls}_AP_dist_{k}'] = round(float(v), 4)
+            for k, v in metrics['label_tp_errors'][cls].items():
+                detail[f'{prefix}/{cls}_{k}'] = round(float(v), 4)
+        for k, v in metrics['tp_errors'].items():
+            detail[f'{prefix}/{ERR_NAME_MAPPING[k]}'] = round(float(v), 4)
+        detail[f'{prefix}/NDS'] = metrics['nd_score']
+        detail[f'{prefix}/mAP'] = metrics['mean_ap']
+        print(f"NDS: {metrics['nd_score']:.4f}  mAP: {metrics['mean_ap']:.4f}")
+        return detail
+
+
+def apply_circle_nms(decoded_tasks: List[dict], cfg, batch_index: int
+                     ) -> tuple:
+    """Host-side post-processing of decode_preds outputs for one sample:
+    per-task circle NMS + cross-task merge (bev_depth_head.py:426-494).
+
+    Returns (boxes (M, 9), scores (M,), labels (M,)) numpy arrays.
+    """
+    from ..ops.nms import circle_nms, size_aware_circle_nms
+    all_boxes, all_scores, all_labels = [], [], []
+    flag = 0
+    for t, task in enumerate(decoded_tasks):
+        boxes = np.asarray(task['bboxes'][batch_index])
+        scores = np.asarray(task['scores'][batch_index])
+        labels = np.asarray(task['labels'][batch_index])
+        valid = np.asarray(task['valid'][batch_index])
+        boxes, scores, labels = boxes[valid], scores[valid], labels[valid]
+        if cfg.nms_type == 'circle':
+            dets = np.concatenate([boxes[:, :2], scores[:, None]], axis=1)
+            keep = circle_nms(dets, float(cfg.nms_min_radius[t]),
+                              post_max_size=cfg.nms_post_max_size)
+        else:
+            dets = np.concatenate([boxes[:, [0, 1, 3, 4, 6]],
+                                   scores[:, None]], axis=1)
+            keep = size_aware_circle_nms(dets, float(cfg.nms_thr),
+                                         post_max_size=cfg.nms_post_max_size)
+        all_boxes.append(boxes[keep])
+        all_scores.append(scores[keep])
+        all_labels.append(labels[keep] + flag)
+        flag += len(cfg.tasks[t])
+    return (np.concatenate(all_boxes) if all_boxes else np.zeros((0, 9)),
+            np.concatenate(all_scores) if all_scores else np.zeros((0,)),
+            np.concatenate(all_labels) if all_labels else np.zeros((0,)))

@@ -50,9 +50,17 @@ def _conv3d(features, name, use_bias=True, dtype=jnp.float32,
 
 
 class FieldBackbone(nn.Module):
-    """Camera images -> ego 3D feature field -> task outputs."""
+    """Camera images -> ego 3D feature field -> task outputs.
+
+    lift_vectorized=False loops over cameras accumulating the masked-mean
+    numerator/denominator (one live voxel volume — minimal HBM). True keeps
+    the camera axis materialized so that, under a mesh with the camera axis
+    sharded ('cam'), the sum over cameras becomes an ICI all-reduce (the
+    multi-chip layout of SURVEY.md §2.4).
+    """
     cfg: BackboneConfig
     dtype: Any = jnp.float32
+    lift_vectorized: bool = False
 
     def setup(self):
         c = self.cfg
@@ -66,7 +74,8 @@ class FieldBackbone(nn.Module):
             G.make_norm_voxel_coords(c.x_bound_seg, c.y_bound_seg, c.z_bound_seg))
         self.output_coords = jnp.asarray(
             G.make_voxel_coords(c.x_bound_det, c.y_bound_det, c.z_bound_det))
-        self.occ_coords = jnp.asarray(G.make_occ_coords())
+        self.occ_coords = jnp.asarray(G.make_occ_coords(
+            c.occ_pc_range, c.occ_voxel_size, c.occ_grid))
 
         self.img_backbone = ResNet(depth=c.img_backbone_depth,
                                    out_indices=c.img_backbone_out_indices,
@@ -153,22 +162,37 @@ class FieldBackbone(nn.Module):
         norm_z = jnp.clip(norm_z, -2.0, 2.0)
         coords = jnp.stack([norm_x, norm_y, norm_z], axis=-1)  # (B,N,Z,Y,X,3)
 
-        # accumulate over cameras so only one voxel volume is live at a time;
-        # jax.checkpoint rematerializes the gathers in backward
-        def lift_one(n, acc):
-            numer, denom = acc
+        def sample_cam(depth_n, feat_n, coords_n, valid_n):
+            """One camera's voxel volume: (B, Z, Y, X, C)."""
             if c.variant == 'bilinear':
-                vol = feat[:, n][:, None]  # (B, 1, h, w, C) depth-1 volume
-                v = S.batched_grid_sample_3d(vol, coords[:, n],
+                vol = feat_n[:, None]     # (B, 1, h, w, C) depth-1 volume
+                v = S.batched_grid_sample_3d(vol, coords_n,
                                              align_corners=False,
                                              padding_mode='zeros')
             else:
-                dvol = jnp.moveaxis(depth[:, n], -1, 1)  # (B, D, h, w)
-                v = S.batched_sample_outer_product(dvol, feat[:, n],
-                                                   coords[:, n],
+                dvol = jnp.moveaxis(depth_n, -1, 1)  # (B, D, h, w)
+                v = S.batched_sample_outer_product(dvol, feat_n, coords_n,
                                                    align_corners=False)
-            v = v * valid[:, n][..., None]
+            return v * valid_n[..., None]
+
+        if self.lift_vectorized:
+            # keep the camera axis: under a camera-sharded mesh the sums over
+            # axis 1 lower to an ICI all-reduce
+            dep = (jnp.zeros(feat.shape[:2], feat.dtype) if depth is None
+                   else depth)
+            v = jax.vmap(sample_cam, in_axes=(1, 1, 1, 1), out_axes=1)(
+                dep, feat, coords, valid)        # (B, N, Z, Y, X, C)
+            numer = jnp.sum(v, axis=1)
             # per-channel camera count (base_vampire2.py:509-512)
+            denom = jnp.sum((jnp.abs(v) > 0).astype(jnp.float32), axis=1)
+            return numer / (denom + 1e-6)
+
+        # loop mode: accumulate over cameras so only one voxel volume is live;
+        # jax.checkpoint rematerializes the gathers in backward
+        def lift_one(n, acc):
+            numer, denom = acc
+            v = sample_cam(None if depth is None else depth[:, n],
+                           feat[:, n], coords[:, n], valid[:, n])
             m = (jnp.abs(v) > 0).astype(jnp.float32)
             return numer + v, denom + m
 

@@ -106,6 +106,7 @@ class Bottleneck(nn.Module):
 
 
 _ARCH = {
+    10: (BasicBlock, (1, 1, 1, 1), 1),   # test-size arch (not in mmdet)
     18: (BasicBlock, (2, 2, 2, 2), 1),
     34: (BasicBlock, (3, 4, 6, 3), 1),
     50: (Bottleneck, (3, 4, 6, 3), 4),

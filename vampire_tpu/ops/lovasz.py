@@ -1,0 +1,79 @@
+"""Lovász-Softmax loss (jit-friendly, masked, fixed shapes).
+
+Re-derives `src/utils/lovasz_losses.py:18-28,153-195` (Berman 2018) with a
+masking trick instead of boolean indexing: invalid elements get fg=0 and
+error=0, so they sort to the tail of the descending error sort and contribute
+exactly 0 to the dot product, while every valid prefix position sees the same
+cumulative sums as the reference's filtered version. `classes='present'`
+becomes a weighted mean over classes with fg present among *valid* elements.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
+    """lovasz_losses.py:18-28; gt_sorted: (..., P) 0/1 floats."""
+    gts = jnp.sum(gt_sorted, axis=-1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=-1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=-1)
+    jaccard = 1.0 - intersection / union
+    diff = jaccard[..., 1:] - jaccard[..., :-1]
+    return jnp.concatenate([jaccard[..., :1], diff], axis=-1)
+
+
+def lovasz_softmax(probas: jnp.ndarray, labels: jnp.ndarray,
+                   valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Multi-class Lovász-Softmax over flat predictions.
+
+    Args:
+      probas: (P, C) class probabilities (softmax output).
+      labels: (P,) int labels in [0, C).
+      valid: optional (P,) bool mask; invalid elements are excluded exactly
+        as the reference's boolean filtering would.
+
+    Returns scalar loss (mean over classes present in the valid labels).
+    """
+    P, C = probas.shape
+    probas = probas.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((P,), bool)
+    vf = valid.astype(jnp.float32)
+
+    # (C, P) foreground indicators and errors, zeroed outside the mask
+    fg = (labels[None, :] == jnp.arange(C)[:, None]).astype(jnp.float32) * vf
+    errors = jnp.abs(fg - probas.T) * vf                      # (C, P)
+    order = jnp.argsort(-errors, axis=-1)                     # descending
+    errors_sorted = jnp.take_along_axis(errors, order, axis=-1)
+    fg_sorted = jnp.take_along_axis(fg, order, axis=-1)
+    grad = _lovasz_grad(fg_sorted)
+    per_class = jnp.sum(errors_sorted * grad, axis=-1)        # (C,)
+
+    present = jnp.sum(fg, axis=-1) > 0
+    n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
+    return jnp.sum(per_class * present.astype(jnp.float32)) / n_present
+
+
+def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                         valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean CE over valid elements (torch F.cross_entropy reduction='mean')."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    if valid is None:
+        return jnp.mean(nll)
+    vf = valid.astype(jnp.float32)
+    return jnp.sum(nll * vf) / jnp.maximum(jnp.sum(vf), 1.0)
+
+
+def ce_lovasz(logits: jnp.ndarray, labels: jnp.ndarray,
+              valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """The reference's standard seg loss pairing: CE + Lovász(softmax probs)
+    (base_exp.py:519-520,555-556,565-566,575-576)."""
+    ce = masked_cross_entropy(logits, labels, valid)
+    lov = lovasz_softmax(jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
+                         labels, valid)
+    return ce + lov

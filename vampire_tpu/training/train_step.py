@@ -1,0 +1,79 @@
+"""The jitted training / eval steps (pjit over the device mesh).
+
+One global step: forward (bf16 conv stacks, fp32 islands), all task losses,
+backward, clip, AdamW, optional EMA. Under a mesh the batch ('dp') and camera
+('cam') axes are sharded by the input shardings and gradient all-reduces are
+inserted by XLA — no explicit collectives (SURVEY.md §5 distributed notes).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import VampireConfig
+from ..models.vampire import Vampire
+from ..models.centerpoint_head import decode_preds
+from .losses import compute_losses
+from .train_state import TrainState, ema_update
+
+MATS_KEYS = ('sensor2ego', 'intrin', 'ida', 'bda')
+
+
+def split_mats(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: batch[k] for k in MATS_KEYS}
+
+
+def build_train_step(model: Vampire, cfg: VampireConfig,
+                     tx: optax.GradientTransformation,
+                     num_devices: int = 1):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        mats = split_mats(batch)
+
+        def loss_fn(params):
+            (fo, preds), new_model_state = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['imgs'], mats, points=batch['points'], train=True,
+                mutable=['batch_stats'])
+            total, logs = compute_losses(
+                fo, preds, batch, cfg.train, cfg.head,
+                cfg.backbone.sdf_bias, cfg.backbone.density_mode,
+                num_devices)
+            return total, (logs, new_model_state['batch_stats'])
+
+        (_, (logs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, state.step,
+                                 cfg.train.ema_decay)
+        logs['grad_norm'] = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt,
+                                  ema_params=new_ema)
+        return new_state, logs
+
+    return train_step
+
+
+def build_eval_step(model: Vampire, cfg: VampireConfig, lidar_seg: bool = True):
+    """Validation forward (base_exp.py:634-663): lidar_seg=True skips the det
+    head; returns field outputs needed by the metrics."""
+    def eval_step(params, batch_stats, batch):
+        mats = split_mats(batch)
+        fo, preds = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, batch['imgs'],
+            mats, points=batch['points'], train=False, lidar_seg=lidar_seg)
+        out = dict(pts_logits=fo['pts_logits'], occ_logits=fo['occ_logits'],
+                   occ_density=fo['occ_density'])
+        if not lidar_seg:
+            out['det'] = decode_preds(preds, cfg.head)
+        return out
+
+    return eval_step
