@@ -106,3 +106,58 @@ def test_resize_linear_trilinear_matches_torch():
     want = F.interpolate(t, size=(10, 16, 16), mode='trilinear',
                          align_corners=True).permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_matrices_match_grid_sample():
+    """Separable static-grid sampling == trilinear gather (both paddings)."""
+    rng = np.random.RandomState(11)
+    Zs, Ys, Xs, C = 6, 9, 10, 4
+    vol = rng.randn(1, Zs, Ys, Xs, C).astype(np.float32)
+    # static per-axis normalized coords, some out of range
+    zc = np.linspace(-1.3, 1.2, 5)
+    yc = np.linspace(-0.9, 0.95, 7)
+    xc = np.linspace(-1.0, 1.1, 8)
+    zz, yy, xx = np.meshgrid(zc, yc, xc, indexing='ij')
+    coords = np.stack([xx, yy, zz], -1).astype(np.float32)  # (5,7,8,3) xyz
+    for padding in ('zeros', 'border'):
+        mats = (S.make_sample_matrix(zc, Zs, True, padding),
+                S.make_sample_matrix(yc, Ys, True, padding),
+                S.make_sample_matrix(xc, Xs, True, padding))
+        got = np.asarray(S.apply_sample_matrices(jnp.asarray(vol), mats,
+                                                 (1, 2, 3)))[0]
+        want = np.asarray(S.grid_sample_3d(jnp.asarray(vol[0]),
+                                           jnp.asarray(coords),
+                                           align_corners=True,
+                                           padding_mode=padding))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_fused_matches_reference():
+    """One-gather fused sampler == 8-corner sampler, both paddings."""
+    rng = np.random.RandomState(13)
+    vol = rng.randn(6, 9, 11, 5).astype(np.float32)
+    coords = _rand_coords(1000, seed=14)
+    for padding in ('zeros', 'border'):
+        for ac in (True, False):
+            want = np.asarray(S.grid_sample_3d(jnp.asarray(vol),
+                                               jnp.asarray(coords), ac, padding))
+            got = np.asarray(S.grid_sample_3d_fused(jnp.asarray(vol),
+                                                    jnp.asarray(coords), ac,
+                                                    padding, chunk=256))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_outer_product_fused_matches():
+    rng = np.random.RandomState(15)
+    D, H, W, C = 7, 8, 10, 4
+    depth = rng.rand(D, H, W).astype(np.float32)
+    feat = rng.randn(H, W, C).astype(np.float32)
+    coords = _rand_coords(777, seed=16)
+    want = np.asarray(S.sample_outer_product(jnp.asarray(depth),
+                                             jnp.asarray(feat),
+                                             jnp.asarray(coords), False))
+    got = np.asarray(S.sample_outer_product_fused(jnp.asarray(depth),
+                                                  jnp.asarray(feat),
+                                                  jnp.asarray(coords), False,
+                                                  chunk=128))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -89,8 +89,10 @@ def main(argv=None):
                                            weights_only=True)
         if args.validate:
             trainer.validate(loader, state)
+        elif args.predict:
+            trainer.predict(loader, state)
         else:
-            trainer.test(loader, state)
+            trainer.test(loader, state, vis=args.vis)
         return
 
     train_loader = make_loader('trainval' if args.trainval else 'train',

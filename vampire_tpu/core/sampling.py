@@ -201,6 +201,214 @@ def _interp_matrix(in_size: int, out_size: int):
     return m
 
 
+# ---------------------------------------------------------------------------
+# Fused-neighborhood sampling: ONE wide row-gather per query instead of 8.
+#
+# Measured on TPU v5e: XLA's row-gather throughput is per-ROW, independent of
+# row width (gathering (V, 22) rows costs the same as (V, 440)). A trilinear
+# sample therefore runs ~8x faster if the 2x2 (y, x) neighborhood and the full
+# z column are packed into one table row: gather once, then reduce with
+# per-point interpolation weights on the VPU (no gather).
+# ---------------------------------------------------------------------------
+
+def build_neighborhood_table(vol: jnp.ndarray) -> jnp.ndarray:
+    """(D, H, W, C) -> ((H+1)*(W+1), 2, 2, D, C) table.
+
+    Row (by, bx) holds the 2x2 (y, x) block of the zero-padded volume rooted
+    at original coords (by-1, bx-1) — every possible bilinear footprint,
+    including ones that straddle the border (zeros padding).
+    """
+    D, H, W, C = vol.shape
+    p = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    blocks = [[p[:, i:i + H + 1, j:j + W + 1] for j in (0, 1)] for i in (0, 1)]
+    # (2, 2, D, H+1, W+1, C) -> (H+1, W+1, 2, 2, D, C)
+    t = jnp.stack([jnp.stack(row, 0) for row in blocks], 0)
+    t = jnp.transpose(t, (3, 4, 0, 1, 2, 5))
+    return t.reshape((H + 1) * (W + 1), 2, 2, D, C)
+
+
+def _axis_window_weights(coord, size, align_corners, border):
+    """Per-point (base_index_in_table, (a0, a1)) for one in-plane axis."""
+    x = _unnormalize(coord, size, align_corners)
+    if border:
+        x = jnp.clip(x, 0.0, float(size - 1))
+    x0f = jnp.floor(x)
+    w1 = x - x0f
+    w0 = 1.0 - w1
+    x0 = x0f.astype(jnp.int32)
+    b = jnp.clip(x0 + 1, 0, size)          # table base (orig rows b-1, b)
+    def a(d):
+        r = b - 1 + d                       # orig row of table offset d
+        c0 = (r == x0) & (x0 >= 0) & (x0 <= size - 1)
+        c1 = (r == x0 + 1) & (x0 + 1 >= 0) & (x0 + 1 <= size - 1)
+        return jnp.where(c0, w0, 0.0) + jnp.where(c1, w1, 0.0)
+    return b, jnp.stack([a(0), a(1)], axis=-1)
+
+
+def _z_weights(coord, size, align_corners, border):
+    """(P, D) z-interpolation weights (two nonzeros per row), no gather."""
+    z = _unnormalize(coord, size, align_corners)
+    if border:
+        z = jnp.clip(z, 0.0, float(size - 1))
+    z0f = jnp.floor(z)
+    w1 = z - z0f
+    z0 = z0f.astype(jnp.int32)
+    iota = jnp.arange(size, dtype=jnp.int32)[None, :]
+    az = jnp.where(iota == z0[:, None], (1.0 - w1)[:, None], 0.0) + \
+        jnp.where(iota == (z0 + 1)[:, None], w1[:, None], 0.0)
+    return az
+
+
+def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
+                         align_corners: bool = True,
+                         padding_mode: str = 'zeros',
+                         chunk: int = 65536,
+                         table: Optional[jnp.ndarray] = None,
+                         out_dtype=jnp.float32) -> jnp.ndarray:
+    """grid_sample_3d with one row-gather per query point.
+
+    Semantically identical to grid_sample_3d (torch semantics); `table` can be
+    passed to amortize build_neighborhood_table across multiple sample calls
+    on the same volume.
+    """
+    D, H, W, C = vol.shape
+    border = padding_mode == 'border'
+    lead = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    P = c.shape[0]
+    if table is None:
+        table = build_neighborhood_table(vol)
+    flat = table.reshape(table.shape[0], -1)
+
+    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, border)
+    by, ay = _axis_window_weights(c[:, 1], H, align_corners, border)
+    rows = by * (W + 1) + bx
+
+    pad = (-P) % chunk
+    rows_p = jnp.pad(rows, (0, pad))
+    ax_p = jnp.pad(ax, ((0, pad), (0, 0)))
+    ay_p = jnp.pad(ay, ((0, pad), (0, 0)))
+    zc_p = jnp.pad(c[:, 2], (0, pad))
+    n_chunks = (P + pad) // chunk
+
+    def one_chunk(args):
+        r, axc, ayc, zc = args
+        t = jnp.take(flat, r, axis=0).reshape(chunk, 4, D, C)
+        az = _z_weights(zc, D, align_corners, border)
+        w4 = (ayc[:, :, None] * axc[:, None, :]).reshape(chunk, 4)
+        wzc = w4[:, :, None] * az[:, None, :]            # (p, 4, D)
+        out = jnp.einsum('pkdc,pkd->pc', t.astype(jnp.float32), wzc)
+        return out
+
+    outs = jax.lax.map(one_chunk,
+                       (rows_p.reshape(n_chunks, chunk),
+                        ax_p.reshape(n_chunks, chunk, 2),
+                        ay_p.reshape(n_chunks, chunk, 2),
+                        zc_p.reshape(n_chunks, chunk)))
+    out = outs.reshape(-1, C)[:P]
+    return out.reshape(*lead, C).astype(out_dtype)
+
+
+def batched_grid_sample_3d_fused(vol, coords, align_corners=True,
+                                 padding_mode='zeros', chunk=65536,
+                                 out_dtype=jnp.float32):
+    fn = functools.partial(grid_sample_3d_fused, align_corners=align_corners,
+                           padding_mode=padding_mode, chunk=chunk,
+                           out_dtype=out_dtype)
+    return jax.vmap(fn)(vol, coords)
+
+
+def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
+                               coords: jnp.ndarray,
+                               align_corners: bool = False,
+                               chunk: int = 65536,
+                               out_dtype=jnp.float32) -> jnp.ndarray:
+    """sample_outer_product with one row-gather per query: the depth column
+    and the feature vector of each 2x2 neighborhood share a table row."""
+    D, H, W = depth_vol.shape
+    C = feat.shape[-1]
+    lead = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    P = c.shape[0]
+    packed = jnp.concatenate(
+        [jnp.moveaxis(depth_vol, 0, -1),
+         feat.astype(jnp.result_type(depth_vol, feat))], axis=-1)
+    # treat [depth|feat] as the channel axis of a depth-1 volume
+    table = build_neighborhood_table(packed[None])   # ((H+1)(W+1),2,2,1,D+C)
+    flat = table.reshape(table.shape[0], -1)
+
+    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, False)
+    by, ay = _axis_window_weights(c[:, 1], H, align_corners, False)
+    rows = by * (W + 1) + bx
+
+    pad = (-P) % chunk
+    rows_p = jnp.pad(rows, (0, pad))
+    ax_p = jnp.pad(ax, ((0, pad), (0, 0)))
+    ay_p = jnp.pad(ay, ((0, pad), (0, 0)))
+    zc_p = jnp.pad(c[:, 2], (0, pad))
+    n_chunks = (P + pad) // chunk
+
+    def one_chunk(args):
+        r, axc, ayc, zc = args
+        t = jnp.take(flat, r, axis=0).reshape(chunk, 2, 2, 1, D + C)
+        t = t[:, :, :, 0].astype(jnp.float32)            # (p, 2, 2, D+C)
+        az = _z_weights(zc, D, align_corners, False)     # (p, D)
+        dpart = t[..., :D]
+        fpart = t[..., D:]
+        s = jnp.einsum('pijd,pd->pij', dpart, az)        # z-interp depth
+        w = ayc[:, :, None] * axc[:, None, :] * s        # (p, 2, 2)
+        return jnp.einsum('pijc,pij->pc', fpart, w)
+
+    outs = jax.lax.map(one_chunk,
+                       (rows_p.reshape(n_chunks, chunk),
+                        ax_p.reshape(n_chunks, chunk, 2),
+                        ay_p.reshape(n_chunks, chunk, 2),
+                        zc_p.reshape(n_chunks, chunk)))
+    out = outs.reshape(-1, C)[:P]
+    return out.reshape(*lead, C).astype(out_dtype)
+
+
+def make_sample_matrix(coords_norm, size: int, align_corners: bool,
+                       padding_mode: str = 'zeros'):
+    """(out, size) numpy matrix encoding 1D linear grid_sample at static
+    normalized coords — each row holds the two corner weights (border: clamp
+    coordinate; zeros: out-of-bounds corners dropped).
+
+    Sampling a static regular grid (occ / det grids) through three such
+    matrices turns the big trilinear gathers into separable MXU matmuls with
+    exactly torch grid_sample semantics.
+    """
+    import numpy as np
+    coords_norm = np.asarray(coords_norm, np.float64)
+    if align_corners:
+        x = (coords_norm + 1.0) / 2.0 * (size - 1)
+    else:
+        x = ((coords_norm + 1.0) * size - 1.0) / 2.0
+    if padding_mode == 'border':
+        x = np.clip(x, 0.0, float(size - 1))
+    m = np.zeros((coords_norm.shape[0], size), np.float32)
+    x0 = np.floor(x)
+    w1 = x - x0
+    for d, w in ((0, 1.0 - w1), (1, w1)):
+        idx = x0.astype(np.int64) + d
+        inb = (idx >= 0) & (idx <= size - 1)
+        np.add.at(m, (np.arange(m.shape[0])[inb], idx[inb]), w[inb])
+    return m
+
+
+def apply_sample_matrices(vol: jnp.ndarray, mats, axes: Tuple[int, ...],
+                          out_dtype=jnp.float32) -> jnp.ndarray:
+    """Contract (numpy or jnp) interpolation matrices along the given axes."""
+    x = vol.astype(jnp.float32)
+    for m, ax in zip(mats, axes):
+        m = jnp.asarray(m)
+        x = jnp.moveaxis(x, ax, -1)
+        x = jnp.einsum('...i,oi->...o', x, m,
+                       preferred_element_type=jnp.float32)
+        x = jnp.moveaxis(x, -1, ax)
+    return x.astype(out_dtype)
+
+
 def resize_linear(x: jnp.ndarray, out_sizes: Tuple[int, ...],
                   axes: Tuple[int, ...]) -> jnp.ndarray:
     """align_corners=True multi-axis linear resize via interpolation matmuls.

@@ -61,6 +61,8 @@ class FieldBackbone(nn.Module):
     cfg: BackboneConfig
     dtype: Any = jnp.float32
     lift_vectorized: bool = False
+    # dtype of the ray-sampling gather table (weights/accum stay fp32)
+    sample_dtype: Any = jnp.bfloat16
 
     def setup(self):
         c = self.cfg
@@ -76,6 +78,33 @@ class FieldBackbone(nn.Module):
             G.make_voxel_coords(c.x_bound_det, c.y_bound_det, c.z_bound_det))
         self.occ_coords = jnp.asarray(G.make_occ_coords(
             c.occ_pc_range, c.occ_voxel_size, c.occ_grid))
+
+        # Static-grid queries as separable interpolation matrices (MXU
+        # matmuls instead of trilinear gathers). The det/output grid is
+        # always static; the occ grid is static for every variant except
+        # 'vampire2' (which bda-rotates it, base_vampire2.py:598-601).
+        Zs, Ys, Xs = c.grid_zyx('seg')
+        def norm1d(centers, bound):
+            return (centers - bound[0]) / (bound[1] - bound[0]) * 2.0 - 1.0
+        det_z = norm1d(G.centers_of(c.z_bound_det), c.z_bound_seg)
+        det_y = norm1d(G.centers_of(c.y_bound_det), c.y_bound_seg)
+        det_x = norm1d(G.centers_of(c.x_bound_det), c.x_bound_seg)
+        self._det_mats = (
+            S.make_sample_matrix(det_z, Zs, True, 'zeros'),
+            S.make_sample_matrix(det_y, Ys, True, 'zeros'),
+            S.make_sample_matrix(det_x, Xs, True, 'zeros'))
+        occ_c = G.make_occ_coords(c.occ_pc_range, c.occ_voxel_size, c.occ_grid)
+        occ_x = norm1d(occ_c[:, 0, 0, 0], c.x_bound_seg)
+        occ_y = norm1d(occ_c[0, :, 0, 1], c.y_bound_seg)
+        occ_z = norm1d(occ_c[0, 0, :, 2], c.z_bound_seg)
+        self._occ_mats_border = (
+            S.make_sample_matrix(occ_z, Zs, True, 'border'),
+            S.make_sample_matrix(occ_y, Ys, True, 'border'),
+            S.make_sample_matrix(occ_x, Xs, True, 'border'))
+        self._occ_mats_zeros = (
+            S.make_sample_matrix(occ_z, Zs, True, 'zeros'),
+            S.make_sample_matrix(occ_y, Ys, True, 'zeros'),
+            S.make_sample_matrix(occ_x, Xs, True, 'zeros'))
 
         self.img_backbone = ResNet(depth=c.img_backbone_depth,
                                    out_indices=c.img_backbone_out_indices,
@@ -166,13 +195,13 @@ class FieldBackbone(nn.Module):
             """One camera's voxel volume: (B, Z, Y, X, C)."""
             if c.variant == 'bilinear':
                 vol = feat_n[:, None]     # (B, 1, h, w, C) depth-1 volume
-                v = S.batched_grid_sample_3d(vol, coords_n,
-                                             align_corners=False,
-                                             padding_mode='zeros')
+                v = S.batched_grid_sample_3d_fused(vol, coords_n,
+                                                   align_corners=False,
+                                                   padding_mode='zeros')
             else:
                 dvol = jnp.moveaxis(depth_n, -1, 1)  # (B, D, h, w)
-                v = S.batched_sample_outer_product(dvol, feat_n, coords_n,
-                                                   align_corners=False)
+                v = jax.vmap(lambda d, f, cc: S.sample_outer_product_fused(
+                    d, f, cc, align_corners=False))(dvol, feat_n, coords_n)
             return v * valid_n[..., None]
 
         if self.lift_vectorized:
@@ -214,18 +243,34 @@ class FieldBackbone(nn.Module):
         c = self.cfg
         norm = G.normalize_coords(points, c.x_bound_seg, c.y_bound_seg,
                                   c.z_bound_seg)
-        pts_logits = S.batched_grid_sample_3d(seg_vol, norm,
+        # one take for logits (border) and sdf: for in-range points border ==
+        # zeros sampling exactly, and the sdf is masked to 0 out of range just
+        # like the reference (base_vampire2.py:594-595)
+        both = jnp.concatenate([seg_vol, sdf_vol], axis=-1)
+        samp = S.batched_grid_sample_3d_fused(both, norm,
                                               align_corners=True,
                                               padding_mode='border')
-        pts_sdf = S.batched_grid_sample_3d(sdf_vol, norm, align_corners=True,
-                                           padding_mode='zeros')[..., 0]
-        pts_sdf = pts_sdf * G.inrange_mask(norm).astype(jnp.float32)
+        pts_logits = samp[..., :-1]
+        pts_sdf = samp[..., -1] * G.inrange_mask(norm).astype(jnp.float32)
         return pts_logits, pts_sdf
 
     def _query_occ(self, seg_vol, sdf_vol, bda):
         """Occ3D grid queries (base_vampire2.py:597-611,647-648)."""
         c = self.cfg
-        if c.variant == 'vampire2' and bda is not None:
+        dens_vol = self._density(sdf_vol)
+        if c.variant != 'vampire2':
+            # static occ grid (lss/lss_inpaintor/bilinear): separable matmuls
+            occ_logits = S.apply_sample_matrices(seg_vol,
+                                                 self._occ_mats_border,
+                                                 (1, 2, 3))
+            occ_density = S.apply_sample_matrices(dens_vol,
+                                                  self._occ_mats_zeros,
+                                                  (1, 2, 3))[..., 0]
+            # (B, Z', Y', X', C) -> (B, X, Y, Z, C)
+            occ_logits = jnp.transpose(occ_logits, (0, 3, 2, 1, 4))
+            occ_density = jnp.transpose(occ_density, (0, 3, 2, 1))
+            return occ_logits, jnp.tanh(occ_density)
+        if bda is not None:
             occ = G.rotate_occ_coords(self.occ_coords, bda)      # (B,X,Y,Z,3)
         else:
             B = seg_vol.shape[0]
@@ -236,7 +281,6 @@ class FieldBackbone(nn.Module):
         occ_logits = S.batched_grid_sample_3d(seg_vol, norm,
                                               align_corners=True,
                                               padding_mode='border')
-        dens_vol = self._density(sdf_vol)
         occ_density = S.batched_grid_sample_3d(dens_vol, norm,
                                                align_corners=True,
                                                padding_mode='zeros')[..., 0]
@@ -256,23 +300,21 @@ class FieldBackbone(nn.Module):
                                        c.y_bound_seg, c.z_bound_seg)
         valid = G.inrange_mask(norm_geom).astype(jnp.float32)
         B, N = norm_geom.shape[:2]
-        samp = S.batched_grid_sample_3d(
-            fused, norm_geom.reshape(B, -1, 3), align_corners=True,
-            padding_mode='zeros').reshape(*norm_geom.shape[:-1], 1 + K + 3)
+        # bf16 sample table: halves the gather bytes; weights/accumulation
+        # stay fp32 (the reference samples an fp16 volume under AMP)
+        samp = S.batched_grid_sample_3d_fused(
+            fused.astype(self.sample_dtype), norm_geom.reshape(B, -1, 3),
+            align_corners=True, padding_mode='zeros'
+        ).reshape(*norm_geom.shape[:-1], 1 + K + 3)
         samp = samp * valid[..., None]
         rgb_p, seg_p, depth_p = R.render_camera_rays(
             samp[..., 0], samp[..., 1:K + 1], samp[..., K + 1:K + 4],
             geom_xyz, self.camera_mids, self._density, c.d_bound[1])
 
-        # BEV branch over the det grid, z flipped (sky -> ground)
+        # BEV branch over the (always static) det grid, z flipped
+        # (sky -> ground); separable interpolation matmuls replace the gather
         fused_bev = jnp.concatenate([fused, base_vol], axis=-1)
-        norm_out = G.normalize_coords(self.output_coords[..., :3],
-                                      c.x_bound_seg, c.y_bound_seg,
-                                      c.z_bound_seg)
-        vox = S.batched_grid_sample_3d(
-            jnp.broadcast_to(fused_bev, fused_bev.shape),
-            jnp.broadcast_to(norm_out[None], (B,) + norm_out.shape),
-            align_corners=True, padding_mode='zeros')      # (B,Zd,Y,X,C)
+        vox = S.apply_sample_matrices(fused_bev, self._det_mats, (1, 2, 3))
         vox = jnp.flip(vox, axis=1)
         bev_density = self._density(vox[..., 0])
         bev_seg_l = vox[..., 1:K + 1]

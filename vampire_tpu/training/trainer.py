@@ -125,7 +125,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader=None,
             state: Optional[TrainState] = None,
-            log_every: int = 50) -> TrainState:
+            log_every: int = 50, image_every: int = 500) -> TrainState:
         cfg = self.cfg
         steps_per_epoch = len(train_loader)
         if state is None:
@@ -133,8 +133,6 @@ class Trainer:
             state = self.init_state(first, steps_per_epoch)
         train_step = jax.jit(build_train_step(self.model, cfg, self.tx,
                                               self.num_devices))
-        train_iou = JaccardIndex(17, ignore_index=0)
-        occ_iou = JaccardIndex(cfg.backbone.num_classes)
         for epoch in range(cfg.train.max_epochs):
             t_ep = time.time()
             for it, batch in enumerate(train_loader):
@@ -145,12 +143,59 @@ class Trainer:
                     self.log_scalars(int(state.step), logs)
                     print(f'epoch {epoch} it {it}/{steps_per_epoch} '
                           f"loss {float(logs['total_loss']):.4f}", flush=True)
+                if image_every and int(state.step) % image_every == 0:
+                    try:
+                        self.log_images(state, dev_batch)
+                    except Exception as e:  # vis must never kill training
+                        print(f'log_images failed: {e}')
             print(f'epoch {epoch} done in {time.time() - t_ep:.1f}s')
             self.save_checkpoint(state, epoch)
             if val_loader is not None and \
                     (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
                 self.validate(val_loader, state)
         return state
+
+    def log_images(self, state: TrainState, dev_batch) -> None:
+        """Periodic image panels (base_exp.py:419-513): rgb/seg/depth renders
+        and BEV maps written as PNGs under <workdir>/panels/."""
+        from PIL import Image
+        from ..utils.vis import (tile_cameras, visualize_depth,
+                                 visualize_semantic)
+        from .losses import denormalize_images
+        model = self.model
+        if not hasattr(self, '_panel_step'):
+            def panel_step(params, batch_stats, batch):
+                mats = split_mats(batch)
+                fo, _ = model.apply(
+                    {'params': params, 'batch_stats': batch_stats},
+                    batch['imgs'][:1], {k: v[:1] for k, v in mats.items()},
+                    points=batch['points'][:1], train=False, lidar_seg=True)
+                return dict(depth=fo['depth_preds'][0],
+                            seg=jnp.argmax(fo['seg_logits_preds'][0], -1),
+                            rgb=fo['rgb_preds'][0],
+                            bev_seg=jnp.argmax(fo['bev_seg_logits_preds'][0],
+                                               -1),
+                            bev_height=fo['bev_height_preds'][0])
+            self._panel_step = jax.jit(panel_step)
+        out = jax.device_get(self._panel_step(state.params, state.batch_stats,
+                                              dev_batch))
+        step = int(state.step)
+        d = os.path.join(self.workdir, 'panels')
+        os.makedirs(d, exist_ok=True)
+        gt = np.asarray(denormalize_images(dev_batch['imgs'][:1]))[0]
+        panels = {
+            'rgb_gts': tile_cameras((np.clip(gt, 0, 1) * 255).astype(np.uint8)),
+            'rgb_preds': tile_cameras(
+                (np.clip(out['rgb'], 0, 1) * 255).astype(np.uint8)),
+            'depth_preds': tile_cameras(np.stack(
+                [visualize_depth(x) for x in out['depth']])),
+            'seg_preds': tile_cameras(np.stack(
+                [visualize_semantic(x) for x in out['seg']])),
+            'bev_seg': visualize_semantic(out['bev_seg']),
+            'bev_height': visualize_depth(out['bev_height'], -5.0, 3.0),
+        }
+        for name, img in panels.items():
+            Image.fromarray(img).save(os.path.join(d, f'{step:07d}_{name}.png'))
 
     def validate(self, val_loader, state: TrainState,
                  use_ema: bool = False) -> Dict[str, float]:
@@ -184,12 +229,16 @@ class Trainer:
         print(f'Current val occupancy miou is {occ_miou * 100:.3f}')
         return {'val/mIoU': miou, 'val/occ_mIoU': occ_miou}
 
-    def test(self, test_loader, state: TrainState) -> None:
+    def test(self, test_loader, state: TrainState, vis: bool = False) -> None:
         """Detection eval: device decode + host circle NMS + submission
-        (base_exp.py:665-746, 912-929)."""
+        (base_exp.py:665-746, 912-929). With vis=True, dump per-frame pickles
+        of rendered rgb/depth/seg/bev/occ instead (base_exp.py:678-708)."""
         from ..evaluation.det_evaluator import (DetNuscEvaluator,
                                                 apply_circle_nms)
         cfg = self.cfg
+        if vis:
+            self._test_vis(test_loader, state)
+            return
         eval_step = jax.jit(build_eval_step(self.model, cfg, lidar_seg=False))
         results, metas = [], []
         for batch in test_loader:
@@ -209,3 +258,95 @@ class Trainer:
             output_dir=os.path.join(self.workdir, 'detection_submit'),
             data_root=cfg.train.data_root)
         evaluator.evaluate(results, metas)
+
+    def _test_vis(self, loader, state: TrainState) -> None:
+        """--vis dumps (base_exp.py:678-708): per-frame pickles of the input
+        tile, rendered depth/semantics, BEV maps and occ prediction."""
+        import pickle
+        from ..utils.vis import (tile_cameras, visualize_depth,
+                                 visualize_semantic)
+        cfg = self.cfg
+        model = self.model
+
+        def vis_step(params, batch_stats, batch):
+            mats = split_mats(batch)
+            fo, preds = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['imgs'], mats, points=batch['points'], train=False)
+            return dict(depth_preds=fo['depth_preds'],
+                        seg_preds=jnp.argmax(fo['seg_logits_preds'], -1),
+                        bev_seg=jnp.argmax(fo['bev_seg_logits_preds'], -1),
+                        bev_height=fo['bev_height_preds'],
+                        bev_density=jnp.sum(fo['bev_density'], axis=1),
+                        occ=jnp.argmax(fo['occ_logits']
+                                       * fo['occ_density'][..., None], -1))
+        step = jax.jit(vis_step)
+        vis_dir = os.path.join(self.workdir, 'visualization')
+        os.makedirs(vis_dir, exist_ok=True)
+        from ..training.losses import denormalize_images
+        idx = 0
+        for batch in loader:
+            dev = self._to_device(batch)
+            out = jax.device_get(step(state.params, state.batch_stats, dev))
+            rgb = np.asarray(denormalize_images(dev['imgs']))
+            for b in range(rgb.shape[0]):
+                d = dict(
+                    batch_idx=idx,
+                    lidar_token=batch['meta'].get('lidar_token', [''] *
+                                                  rgb.shape[0])[b],
+                    input_image=tile_cameras(
+                        (rgb[b] * 255).astype(np.uint8)),
+                    camera_depth=tile_cameras(np.stack(
+                        [visualize_depth(x) for x in out['depth_preds'][b]])),
+                    camera_semantics=tile_cameras(np.stack(
+                        [visualize_semantic(x) for x in out['seg_preds'][b]])),
+                    bev_semantics=visualize_semantic(out['bev_seg'][b]),
+                    bev_density=visualize_depth(out['bev_density'][b],
+                                                vmin=0, vmax=10),
+                    occ=out['occ'][b],
+                )
+                with open(os.path.join(vis_dir, f'{idx}.pkl'), 'wb') as f:
+                    pickle.dump(d, f)
+                idx += 1
+
+    def predict(self, loader, state: TrainState) -> None:
+        """Test-split submission: detection json + per-token lidarseg bins
+        (base_exp.py:800-849, base_cli.py:112-129)."""
+        from ..evaluation.det_evaluator import (DetNuscEvaluator,
+                                                apply_circle_nms)
+        from ..evaluation.lidarseg import lidarseg_labels, write_submission
+        cfg = self.cfg
+        model = self.model
+
+        def predict_step(params, batch_stats, batch):
+            mats = split_mats(batch)
+            fo, preds = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['imgs'], mats, points=batch['points'], train=False)
+            from ..models.centerpoint_head import decode_preds
+            return dict(det=decode_preds(preds, cfg.head),
+                        pts_logits=fo['pts_logits'])
+        step = jax.jit(predict_step)
+        results, metas, seg_results = [], [], []
+        for batch in loader:
+            dev = self._to_device(batch)
+            out = jax.device_get(step(state.params, state.batch_stats, dev))
+            B = dev['imgs'].shape[0]
+            for b in range(B):
+                results.append(apply_circle_nms(out['det'], cfg.head, b))
+                metas.append(dict(
+                    token=batch['meta']['token'][b],
+                    ego2global_rotation=batch['meta']['ego2global_rotation'][b],
+                    ego2global_translation=batch['meta'][
+                        'ego2global_translation'][b]))
+                n = int(np.asarray(batch['num_points'][b]))
+                seg_results.append(
+                    (batch['meta']['lidar_token'][b],
+                     lidarseg_labels(out['pts_logits'][b], n)))
+        submit_dir = os.path.join(self.workdir, 'lidarseg_submit')
+        write_submission(seg_results, submit_dir, split='test')
+        evaluator = DetNuscEvaluator(
+            class_names=[c for t in cfg.head.tasks for c in t],
+            output_dir=os.path.join(self.workdir, 'detection_submit'),
+            data_root=cfg.train.data_root)
+        evaluator.format_bbox(results, metas)
