@@ -39,16 +39,21 @@ def main():
     def fwd(v, imgs, mats, pts):
         fo, preds = model.apply(v, imgs, mats, points=pts, train=False)
         dec = decode_preds(preds, cfg.head)
-        return (fo['occ_logits'], fo['occ_density'], fo['pts_logits'],
+        outs = (fo['occ_logits'], fo['occ_density'], fo['pts_logits'],
                 fo['depth_preds'], fo['bev_seg_logits_preds'],
                 [(d['bboxes'], d['scores'], d['labels'], d['valid'])
                  for d in dec])
+        # fold every output into one scalar so timing needs a single host
+        # fetch (fetch roundtrips through the axon tunnel are ~30ms each)
+        checksum = sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(outs))
+        return checksum
 
     def sync(out):
-        # block_until_ready is unreliable on the axon backend; fetch one
-        # element of EVERY output to force the full step
+        # block_until_ready is unreliable on the axon backend; fetch forces
+        # the step to complete
         for x in jax.tree.leaves(out):
-            np.asarray(x.ravel()[:1])
+            np.asarray(x)
 
     args = (variables, batch['imgs'], mats, batch['points'])
     sync(fwd(*args))  # compile

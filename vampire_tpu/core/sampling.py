@@ -202,29 +202,31 @@ def _interp_matrix(in_size: int, out_size: int):
 
 
 # ---------------------------------------------------------------------------
-# Fused-neighborhood sampling: ONE wide row-gather per query instead of 8.
+# Fused-neighborhood sampling: ONE row-gather per query instead of 8.
 #
-# Measured on TPU v5e: XLA's row-gather throughput is per-ROW, independent of
-# row width (gathering (V, 22) rows costs the same as (V, 440)). A trilinear
-# sample therefore runs ~8x faster if the 2x2 (y, x) neighborhood and the full
-# z column are packed into one table row: gather once, then reduce with
-# per-point interpolation weights on the VPU (no gather).
+# Measured on TPU v5e: XLA's row-gather costs ~13.5ns/row for narrow rows and
+# goes byte-bound (~45GB/s effective) for wide ones. A trilinear sample
+# therefore runs fastest when each table row holds EXACTLY the 2x2x2 corner
+# footprint of one query (8*C values): one gather per point with zero
+# over-read, then a VPU weighted reduction (no gather).
 # ---------------------------------------------------------------------------
 
 def build_neighborhood_table(vol: jnp.ndarray) -> jnp.ndarray:
-    """(D, H, W, C) -> ((H+1)*(W+1), 2, 2, D, C) table.
+    """(D, H, W, C) -> ((D+1)*(H+1)*(W+1), 2, 2, 2, C) corner-block table.
 
-    Row (by, bx) holds the 2x2 (y, x) block of the zero-padded volume rooted
-    at original coords (by-1, bx-1) — every possible bilinear footprint,
-    including ones that straddle the border (zeros padding).
+    Row (bz, by, bx) holds the 2x2x2 block of the zero-padded volume rooted at
+    original coords (bz-1, by-1, bx-1) — every possible trilinear footprint,
+    including ones straddling the border (zeros padding).
     """
     D, H, W, C = vol.shape
-    p = jnp.pad(vol, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    blocks = [[p[:, i:i + H + 1, j:j + W + 1] for j in (0, 1)] for i in (0, 1)]
-    # (2, 2, D, H+1, W+1, C) -> (H+1, W+1, 2, 2, D, C)
-    t = jnp.stack([jnp.stack(row, 0) for row in blocks], 0)
-    t = jnp.transpose(t, (3, 4, 0, 1, 2, 5))
-    return t.reshape((H + 1) * (W + 1), 2, 2, D, C)
+    p = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    blocks = [[[p[k:k + D + 1, i:i + H + 1, j:j + W + 1]
+                for j in (0, 1)] for i in (0, 1)] for k in (0, 1)]
+    # (2, 2, 2, D+1, H+1, W+1, C) -> (D+1, H+1, W+1, 2, 2, 2, C)
+    t = jnp.stack([jnp.stack([jnp.stack(r, 0) for r in plane], 0)
+                   for plane in blocks], 0)
+    t = jnp.transpose(t, (3, 4, 5, 0, 1, 2, 6))
+    return t.reshape((D + 1) * (H + 1) * (W + 1), 2, 2, 2, C)
 
 
 def _axis_window_weights(coord, size, align_corners, border):
@@ -243,20 +245,6 @@ def _axis_window_weights(coord, size, align_corners, border):
         c1 = (r == x0 + 1) & (x0 + 1 >= 0) & (x0 + 1 <= size - 1)
         return jnp.where(c0, w0, 0.0) + jnp.where(c1, w1, 0.0)
     return b, jnp.stack([a(0), a(1)], axis=-1)
-
-
-def _z_weights(coord, size, align_corners, border):
-    """(P, D) z-interpolation weights (two nonzeros per row), no gather."""
-    z = _unnormalize(coord, size, align_corners)
-    if border:
-        z = jnp.clip(z, 0.0, float(size - 1))
-    z0f = jnp.floor(z)
-    w1 = z - z0f
-    z0 = z0f.astype(jnp.int32)
-    iota = jnp.arange(size, dtype=jnp.int32)[None, :]
-    az = jnp.where(iota == z0[:, None], (1.0 - w1)[:, None], 0.0) + \
-        jnp.where(iota == (z0 + 1)[:, None], w1[:, None], 0.0)
-    return az
 
 
 def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
@@ -282,29 +270,25 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
 
     bx, ax = _axis_window_weights(c[:, 0], W, align_corners, border)
     by, ay = _axis_window_weights(c[:, 1], H, align_corners, border)
-    rows = by * (W + 1) + bx
+    bz, az = _axis_window_weights(c[:, 2], D, align_corners, border)
+    rows = (bz * (H + 1) + by) * (W + 1) + bx
+    # (p, 8) corner weights in (z, y, x) minor-to-major corner order
+    w8 = (az[:, :, None, None] * ay[:, None, :, None]
+          * ax[:, None, None, :]).reshape(-1, 8)
 
     pad = (-P) % chunk
     rows_p = jnp.pad(rows, (0, pad))
-    ax_p = jnp.pad(ax, ((0, pad), (0, 0)))
-    ay_p = jnp.pad(ay, ((0, pad), (0, 0)))
-    zc_p = jnp.pad(c[:, 2], (0, pad))
+    w8_p = jnp.pad(w8, ((0, pad), (0, 0)))
     n_chunks = (P + pad) // chunk
 
     def one_chunk(args):
-        r, axc, ayc, zc = args
-        t = jnp.take(flat, r, axis=0).reshape(chunk, 4, D, C)
-        az = _z_weights(zc, D, align_corners, border)
-        w4 = (ayc[:, :, None] * axc[:, None, :]).reshape(chunk, 4)
-        wzc = w4[:, :, None] * az[:, None, :]            # (p, 4, D)
-        out = jnp.einsum('pkdc,pkd->pc', t.astype(jnp.float32), wzc)
-        return out
+        r, w = args
+        t = jnp.take(flat, r, axis=0).reshape(chunk, 8, C)
+        return jnp.sum(t.astype(jnp.float32) * w[:, :, None], axis=1)
 
     outs = jax.lax.map(one_chunk,
                        (rows_p.reshape(n_chunks, chunk),
-                        ax_p.reshape(n_chunks, chunk, 2),
-                        ay_p.reshape(n_chunks, chunk, 2),
-                        zc_p.reshape(n_chunks, chunk)))
+                        w8_p.reshape(n_chunks, chunk, 8)))
     out = outs.reshape(-1, C)[:P]
     return out.reshape(*lead, C).astype(out_dtype)
 
@@ -323,47 +307,57 @@ def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
                                align_corners: bool = False,
                                chunk: int = 65536,
                                out_dtype=jnp.float32) -> jnp.ndarray:
-    """sample_outer_product with one row-gather per query: the depth column
-    and the feature vector of each 2x2 neighborhood share a table row."""
+    """sample_outer_product with one row-gather per query.
+
+    Table rows are keyed by the (d0, y0, x0) corner base and hold exactly the
+    query footprint: the 2x2x2 depth block (8 scalars) plus the 2x2 feature
+    block (4*C) — the feature block is replicated across the depth axis, which
+    is cheap (the per-camera image plane is small) and buys zero over-read.
+    """
     D, H, W = depth_vol.shape
     C = feat.shape[-1]
     lead = coords.shape[:-1]
     c = coords.reshape(-1, 3)
     P = c.shape[0]
-    packed = jnp.concatenate(
-        [jnp.moveaxis(depth_vol, 0, -1),
-         feat.astype(jnp.result_type(depth_vol, feat))], axis=-1)
-    # treat [depth|feat] as the channel axis of a depth-1 volume
-    table = build_neighborhood_table(packed[None])   # ((H+1)(W+1),2,2,1,D+C)
-    flat = table.reshape(table.shape[0], -1)
+    dt = jnp.result_type(depth_vol, feat)
+    # depth corner-block table: ((D+1)(H+1)(W+1), 8)
+    dtab = build_neighborhood_table(depth_vol[..., None].astype(dt))
+    dtab = dtab.reshape(dtab.shape[0], 8)
+    # feature 2x2 block table over (H+1)(W+1), tiled across D+1
+    fp = jnp.pad(feat.astype(dt), ((1, 1), (1, 1), (0, 0)))
+    fblk = jnp.stack([jnp.stack([fp[i:i + H + 1, j:j + W + 1]
+                                 for j in (0, 1)], 2) for i in (0, 1)], 2)
+    fblk = fblk.reshape((H + 1) * (W + 1), 4 * C)
+    ftab = jnp.broadcast_to(fblk[None], (D + 1,) + fblk.shape)
+    ftab = ftab.reshape((D + 1) * (H + 1) * (W + 1), 4 * C)
+    flat = jnp.concatenate([dtab, ftab], axis=-1)    # (R, 8 + 4C)
 
     bx, ax = _axis_window_weights(c[:, 0], W, align_corners, False)
     by, ay = _axis_window_weights(c[:, 1], H, align_corners, False)
-    rows = by * (W + 1) + bx
+    bz, az = _axis_window_weights(c[:, 2], D, align_corners, False)
+    rows = (bz * (H + 1) + by) * (W + 1) + bx
+    w8 = (az[:, :, None, None] * ay[:, None, :, None]
+          * ax[:, None, None, :]).reshape(-1, 8)     # full trilinear weights
 
     pad = (-P) % chunk
     rows_p = jnp.pad(rows, (0, pad))
-    ax_p = jnp.pad(ax, ((0, pad), (0, 0)))
-    ay_p = jnp.pad(ay, ((0, pad), (0, 0)))
-    zc_p = jnp.pad(c[:, 2], (0, pad))
+    w8_p = jnp.pad(w8, ((0, pad), (0, 0)))
     n_chunks = (P + pad) // chunk
 
     def one_chunk(args):
-        r, axc, ayc, zc = args
-        t = jnp.take(flat, r, axis=0).reshape(chunk, 2, 2, 1, D + C)
-        t = t[:, :, :, 0].astype(jnp.float32)            # (p, 2, 2, D+C)
-        az = _z_weights(zc, D, align_corners, False)     # (p, D)
-        dpart = t[..., :D]
-        fpart = t[..., D:]
-        s = jnp.einsum('pijd,pd->pij', dpart, az)        # z-interp depth
-        w = ayc[:, :, None] * axc[:, None, :] * s        # (p, 2, 2)
-        return jnp.einsum('pijc,pij->pc', fpart, w)
+        r, w8c = args
+        t = jnp.take(flat, r, axis=0).astype(jnp.float32)
+        dparts = t[:, :8].reshape(chunk, 2, 4)        # (p, 2z, 4yx)
+        fparts = t[:, 8:].reshape(chunk, 4, C)        # (p, 4yx, C)
+        # per-(y,x)-corner depth interpolated along z, times bilinear weight:
+        # w[p, k] = sum_z w8[p, z, k] * depth[p, z, k]  (w8 already includes
+        # the bilinear factors), then out = sum_k w[p, k] * feat[p, k]
+        wzk = jnp.sum(w8c.reshape(chunk, 2, 4) * dparts, axis=1)  # (p, 4)
+        return jnp.sum(fparts * wzk[:, :, None], axis=1)
 
     outs = jax.lax.map(one_chunk,
                        (rows_p.reshape(n_chunks, chunk),
-                        ax_p.reshape(n_chunks, chunk, 2),
-                        ay_p.reshape(n_chunks, chunk, 2),
-                        zc_p.reshape(n_chunks, chunk)))
+                        w8_p.reshape(n_chunks, chunk, 8)))
     out = outs.reshape(-1, C)[:P]
     return out.reshape(*lead, C).astype(out_dtype)
 
