@@ -27,6 +27,13 @@ from .resnet import ResNet, ConvBN, kaiming_out
 from .second_fpn import SECONDFPN
 
 
+# torch's default Conv2d init (kaiming_uniform with a=sqrt(5)): mmdet3d leaves
+# the SeparateHead branch-final convs on it; a hotter init saturates the
+# heatmap focal loss at step 0 (sigmoid(-2.19 ± 5) ~ 1).
+_torch_default = nn.initializers.variance_scaling(1.0 / 3.0, 'fan_in',
+                                                  'uniform')
+
+
 class SeparateHead(nn.Module):
     """Per-task regression branches (mmdet3d SeparateHead, final_kernel=3)."""
     heads: Tuple[Tuple[str, Tuple[int, int]], ...]  # name -> (out_ch, num_conv)
@@ -47,7 +54,7 @@ class SeparateHead(nn.Module):
                          if name == 'heatmap' else nn.initializers.zeros)
             h = nn.Conv(classes, (k, k), padding=[(k // 2, k // 2)] * 2,
                         use_bias=True, dtype=jnp.float32,
-                        param_dtype=jnp.float32, kernel_init=kaiming_out,
+                        param_dtype=jnp.float32, kernel_init=_torch_default,
                         bias_init=bias_init, name=f'{name}_out')(h)
             out[name] = h
         return out
