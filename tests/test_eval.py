@@ -1,0 +1,99 @@
+"""Tests for IoU metrics, NMS post-processing and submission writers."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vampire_tpu.configs import HeadConfig, DET_CLASSES
+from vampire_tpu.evaluation.det_evaluator import (DetNuscEvaluator,
+                                                  apply_circle_nms)
+from vampire_tpu.evaluation.lidarseg import lidarseg_labels, write_submission
+from vampire_tpu.training.metrics import JaccardIndex
+from vampire_tpu.data.transforms import quat_to_rot
+
+
+def test_jaccard_matches_manual():
+    m = JaccardIndex(4, ignore_index=0)
+    preds = np.array([1, 1, 2, 3, 2, 0, 1])
+    labels = np.array([1, 2, 2, 3, 3, 0, 0])
+    m.update(preds, labels)
+    iou = m.compute()
+    # label 0 rows ignored entirely
+    # class1: tp=1 (pred1,lab1); fp: pred1&lab2 -> union=2 -> 0.5
+    assert np.isclose(iou[1], 1 / 2)
+    # class2: tp=1; fn: lab2&pred1; fp: lab3&pred2 -> union 3
+    assert np.isclose(iou[2], 1 / 3)
+    # class3: tp=1; row 2 (lab3 twice), col 1 -> union 2
+    assert np.isclose(iou[3], 1 / 2)
+
+
+def test_jaccard_reference_slicing():
+    """mIoU slices match the reference report conventions
+    (base_exp.py:880-910): lidarseg mean over classes 1..16, occ over [:-1]."""
+    m = JaccardIndex(17, ignore_index=0)
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 17, 1000)
+    m.update(labels, labels)  # perfect predictions
+    iou = m.compute()[1:]
+    assert np.nanmean(iou) == 1.0
+
+
+def test_apply_circle_nms_merges_tasks():
+    cfg = HeadConfig()
+    rng = np.random.RandomState(0)
+    decoded = []
+    for t, task in enumerate(cfg.tasks):
+        K = 50
+        boxes = np.zeros((1, K, 9), np.float32)
+        boxes[0, :, 0] = rng.uniform(-50, 50, K)
+        boxes[0, :, 1] = rng.uniform(-50, 50, K)
+        boxes[0, :, 3:6] = 1.0
+        decoded.append(dict(bboxes=boxes,
+                            scores=rng.rand(1, K).astype(np.float32),
+                            labels=np.zeros((1, K), np.int32),
+                            valid=np.ones((1, K), bool)))
+    boxes, scores, labels = apply_circle_nms(decoded, cfg, 0)
+    assert boxes.shape[1] == 9
+    assert len(scores) == len(labels) == len(boxes)
+    # labels got the cross-task offset: last task starts at 8
+    assert labels.max() >= 8
+    assert len(boxes) <= cfg.nms_post_max_size * len(cfg.tasks)
+
+
+def test_det_submission_roundtrip(tmp_path):
+    ev = DetNuscEvaluator(class_names=list(DET_CLASSES),
+                          output_dir=str(tmp_path))
+    boxes = np.array([[10.0, 5.0, -1.0, 1.9, 4.5, 1.6, 0.3, 4.0, 0.5]],
+                     np.float32)
+    results = [(boxes, np.array([0.9]), np.array([0]))]
+    yaw = 0.5
+    metas = [dict(token='tok0',
+                  ego2global_rotation=[np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)],
+                  ego2global_translation=[100.0, 50.0, 0.0])]
+    path = ev.format_bbox(results, metas)
+    with open(path) as f:
+        sub = json.load(f)
+    assert sub['meta']['use_camera'] is True
+    ann = sub['results']['tok0'][0]
+    assert ann['detection_name'] == 'car'
+    # translation = R(yaw) @ center + trans
+    R = quat_to_rot(metas[0]['ego2global_rotation'])
+    want = R @ boxes[0, :3] + np.array([100.0, 50.0, 0.0])
+    np.testing.assert_allclose(ann['translation'], want, atol=1e-5)
+    # wlh written as (box[4], box[3], box[5]) (det_evaluators.py:246)
+    np.testing.assert_allclose(ann['size'], [4.5, 1.9, 1.6], atol=1e-6)
+    # moving car -> vehicle.moving attribute
+    assert ann['attribute_name'] == 'vehicle.moving'
+
+
+def test_lidarseg_writer(tmp_path):
+    rng = np.random.RandomState(0)
+    logits = rng.randn(128, 18).astype(np.float32)
+    labels = lidarseg_labels(logits, 100)
+    assert labels.shape == (100,)
+    assert labels.min() >= 1 and labels.max() <= 16
+    write_submission([('tokA', labels)], str(tmp_path), split='test')
+    out = os.path.join(tmp_path, 'lidarseg', 'test', 'tokA_lidarseg.bin')
+    assert np.array_equal(np.fromfile(out, np.uint8), labels)
+    assert os.path.exists(os.path.join(tmp_path, 'test', 'submission.json'))
