@@ -1,0 +1,48 @@
+"""End-to-end training correctness: overfit a single synthetic batch.
+
+If gradients, optimizer wiring, masks or any loss term had the wrong sign or
+a stop-gradient bug, the total loss would not decrease steadily.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vampire_tpu.data.synthetic import synthetic_batch, tiny_config
+from vampire_tpu.models.vampire import Vampire
+from vampire_tpu.training.train_state import create_train_state
+from vampire_tpu.training.train_step import build_train_step, split_mats
+
+
+def test_overfit_single_batch():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, loss_weights=(1., 1., 0., 1., 1.),
+        basic_lr_per_img=1e-3 * 8, gradient_clip_val=10.0))
+    model = Vampire(cfg.backbone, cfg.head, dtype=jnp.float32)
+    batch = synthetic_batch(cfg, batch_size=1, n_points=128, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    mats = split_mats(batch)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch['imgs'], mats, points=batch['points'],
+        train=True))()
+    state, tx = create_train_state(variables['params'],
+                                   variables['batch_stats'], cfg.train,
+                                   steps_per_epoch=10_000)
+    # snapshot before the loop: donation consumes the original buffers
+    stem0 = jax.tree.map(np.asarray,
+                         variables['params']['backbone']['img_backbone']['stem'])
+    step = jax.jit(build_train_step(model, cfg, tx, 1), donate_argnums=0)
+    losses = []
+    for i in range(40):
+        state, logs = step(state, batch)
+        losses.append(float(logs['total_loss']))
+    assert np.isfinite(losses).all()
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < 0.7 * first, (first, last, losses[::8])
+    # the frozen stem must not have moved
+    stem1 = state.params['backbone']['img_backbone']['stem']
+    for a, b in zip(jax.tree.leaves(stem0), jax.tree.leaves(stem1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,21 +1,25 @@
-"""Pallas TPU kernel: pipelined row-gather + trilinear reduction.
+"""Pallas TPU kernel experiment: pipelined row-gather (NEGATIVE RESULT).
 
-The fused-neighborhood sampler (core/sampling.py) reduced trilinear sampling
-to ONE wide row-gather per query + a VPU reduction. XLA's gather sustains
-~74M rows/s on v5e regardless of row width; this kernel replaces it with an
-explicitly multi-buffered DMA pipeline (PrefetchScalarGridSpec: the row
-indices are scalar-prefetched so each grid step can start the copies for the
-next block while reducing the current one), and fuses the weighted reduction
-so the wide gathered rows never round-trip through HBM.
+The fused-neighborhood sampler (core/sampling.py) reduces trilinear sampling
+to ONE row-gather per query + a VPU reduction. This kernel explored replacing
+XLA's gather with an explicit multi-buffered DMA pipeline
+(PrefetchScalarGridSpec + grouped double buffering).
 
-Layout:
-  table: (R, 4*D*C) in HBM (rows = 2x2 neighborhood x z column x channels)
-  rows:  (P,) int32 row ids        (scalar-prefetched)
-  wzc:   (P, 4*D) fp32 interpolation weights (w_y*w_x outer w_z)
-  out:   (P, C) fp32
+Measured on v5e (5.6M random 512B rows, bf16):
+  * XLA `jnp.take`:              45M rows/s
+  * this kernel (grouped DMAs):  24M rows/s (NGRP=8, G=16, BLK=2048)
 
-Grid: P / BLK queries per step; per step, BLK row-DMAs are issued in
-NBUF-deep flights.
+The scalar-core DMA issue/wait loop is the bottleneck; XLA's native gather is
+already near the achievable per-row rate on this hardware. Kept as a
+documented experiment and as the scaffolding for future binned/slab designs
+(which would amortize DMAs over many queries per volume tile).
+
+Mosaic constraints learned (see git history for the debugging):
+  * DMA slices of tiled dims must align to (sublane, 128); keep the
+    dynamically-indexed dim leading and untiled: table (R, 2, ROWW//2) bf16;
+  * dynamic single-row VMEM stores need sublane alignment — write in
+    G-row groups at pl.multiple_of offsets;
+  * scalar-prefetch operands live in SMEM (1MB) — chunk > ~200K indices.
 """
 from __future__ import annotations
 

@@ -59,9 +59,12 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int, params) -> optax.Grad
 def create_train_state(params, batch_stats, cfg: TrainConfig,
                        steps_per_epoch: int) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = make_optimizer(cfg, steps_per_epoch, params)
+    # EMA starts as a COPY of params: sharing buffers would alias two
+    # donated arguments in the jitted train step
+    ema = jax.tree.map(jnp.copy, params) if cfg.use_ema else None
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params),
-                       ema_params=(params if cfg.use_ema else None))
+                       ema_params=ema)
     return state, tx
 
 

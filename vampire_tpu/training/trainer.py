@@ -132,7 +132,8 @@ class Trainer:
             first = next(iter(train_loader))
             state = self.init_state(first, steps_per_epoch)
         train_step = jax.jit(build_train_step(self.model, cfg, self.tx,
-                                              self.num_devices))
+                                              self.num_devices),
+                             donate_argnums=0)
         for epoch in range(cfg.train.max_epochs):
             t_ep = time.time()
             for it, batch in enumerate(train_loader):
