@@ -70,7 +70,10 @@ def main(argv=None):
     data_root = args.data_root
 
     def make_loader(split: str, mode: str, shuffle: bool):
-        info = os.path.join(data_root, f'nuscenes_occ_infos_{split}.pkl')
+        # the test split has no Occ3D labels (base_exp.py:313-314)
+        name = ('nuscenes_infos_test.pkl' if split == 'test'
+                else f'nuscenes_occ_infos_{split}.pkl')
+        info = os.path.join(data_root, name)
         ds = NuscDetSegDataset(
             ida_aug=cfg.ida_aug, bda_aug=cfg.bda_aug,
             classes=list(DET_CLASSES), data_root=data_root, info_paths=info,

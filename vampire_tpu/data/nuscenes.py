@@ -91,6 +91,7 @@ class NuscDetSegDataset:
                  head_cfg: HeadConfig,
                  mode: str = 'train',
                  use_cbgs: bool = False,
+                 use_dense: bool = False,
                  num_sweeps: int = 1,
                  img_mean=IMG_MEAN,
                  img_std=IMG_STD,
@@ -106,6 +107,7 @@ class NuscDetSegDataset:
         self.data_root = data_root
         self.head_cfg = head_cfg
         self.use_cbgs = use_cbgs
+        self.use_dense = use_dense
         self.num_sweeps = num_sweeps
         self.img_mean = np.asarray(img_mean, np.float32)
         self.img_std = np.asarray(img_std, np.float32)
@@ -182,9 +184,21 @@ class NuscDetSegDataset:
 
     # ------------------------------------------------------------------
     def _get_lidar(self, lidar_info) -> Tuple[np.ndarray, np.ndarray]:
-        """Key-frame cloud + 17-class labels (:530-558)."""
+        """Key-frame cloud + 17-class labels (:530-558). With use_dense (train
+        only), loads fp16 dense clouds from the occupancy/ mirror path
+        (:535-543), falling back to the sparse cloud."""
         path = os.path.join(self.data_root,
                             lidar_info['LIDAR_TOP']['filename'])
+        if self.use_dense and self.mode == 'train':
+            dense = path.replace('samples/LIDAR_TOP', 'occupancy')
+            try:
+                arr = np.fromfile(dense, dtype=np.float16).reshape(-1, 5)
+                pts = arr[:, :4].astype(np.float32)
+                labels = MAP_IDX_GENERAL_TO_SEG[
+                    arr[:, 4].astype(np.int64) % 32]
+                return pts, labels
+            except (OSError, ValueError):
+                pass
         pts = np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :4]
         seg_path = lidar_info['LIDAR_TOP'].get('lidarseg_labels_filename')
         if seg_path is not None:

@@ -77,3 +77,29 @@ def build_eval_step(model: Vampire, cfg: VampireConfig, lidar_seg: bool = True):
         return out
 
     return eval_step
+
+
+def build_metric_eval_step(model: Vampire, cfg: VampireConfig):
+    """Validation with ON-DEVICE confusion matrices: only two tiny (C, C)
+    arrays leave the chip per batch (base_exp.py:644-658 semantics:
+    lidarseg argmax over classes 1..16 (+1) on valid points, occ argmax on
+    mask_camera voxels)."""
+    from .metrics import confusion_update
+    K = cfg.backbone.num_classes
+
+    def eval_step(params, batch_stats, batch):
+        mats = split_mats(batch)
+        fo, _ = model.apply(
+            {'params': params, 'batch_stats': batch_stats}, batch['imgs'],
+            mats, points=batch['points'], train=False, lidar_seg=True)
+        seg_pred = jnp.argmax(fo['pts_logits'][..., 1:-1], axis=-1) + 1
+        valid = batch['point_valid'] & (batch['point_labels'] != 0)
+        conf_seg = confusion_update(jnp.zeros((K - 1, K - 1), jnp.float32),
+                                    seg_pred, batch['point_labels'], valid)
+        occ_pred = jnp.argmax(fo['occ_logits'], axis=-1)
+        conf_occ = confusion_update(jnp.zeros((K, K), jnp.float32),
+                                    occ_pred, batch['occ_semantics'],
+                                    batch['mask_camera'])
+        return conf_seg, conf_occ
+
+    return eval_step

@@ -201,24 +201,21 @@ class Trainer:
     def validate(self, val_loader, state: TrainState,
                  use_ema: bool = False) -> Dict[str, float]:
         """Lidarseg + occupancy IoU over the val split (base_exp.py:634-663,
-        880-910)."""
+        880-910). Confusion matrices are computed on device; only two (C, C)
+        arrays come back per batch."""
+        from .train_step import build_metric_eval_step
         cfg = self.cfg
         params = state.ema_params if (use_ema and state.ema_params is not None) \
             else state.params
-        eval_step = jax.jit(build_eval_step(self.model, cfg, lidar_seg=True))
+        eval_step = jax.jit(build_metric_eval_step(self.model, cfg))
         val_iou = JaccardIndex(17, ignore_index=0)
         occ_iou = JaccardIndex(cfg.backbone.num_classes)
         for batch in val_loader:
             dev = self._to_device(batch)
-            out = jax.device_get(eval_step(params, state.batch_stats, dev))
-            # lidarseg: argmax over classes 1..16 (+1), pad-masked
-            pts_logits = out['pts_logits']
-            seg_pred = pts_logits[..., 1:-1].argmax(-1) + 1
-            val_iou.update(seg_pred, np.asarray(batch['point_labels']),
-                           np.asarray(batch['point_valid']))
-            occ_pred = out['occ_logits'].argmax(-1)
-            occ_iou.update(occ_pred, np.asarray(batch['occ_semantics']),
-                           np.asarray(batch['mask_camera']))
+            conf_seg, conf_occ = jax.device_get(
+                eval_step(params, state.batch_stats, dev))
+            val_iou.update_confusion(conf_seg)
+            occ_iou.update_confusion(conf_occ)
         iou = val_iou.compute()[1:]
         miou = float(np.nanmean(iou))
         print(format_iou_report(iou, LABEL_17_NAMES[1:-1], 'Validation'))
