@@ -20,10 +20,12 @@ class Vampire(nn.Module):
     head_cfg: HeadConfig
     dtype: Any = jnp.bfloat16
     lift_vectorized: bool = False
+    lift_remat: bool = True
 
     def setup(self):
         self.backbone = FieldBackbone(self.backbone_cfg, dtype=self.dtype,
                                       lift_vectorized=self.lift_vectorized,
+                                      lift_remat=self.lift_remat,
                                       name='backbone')
         self.head = BEVDepthHead(self.head_cfg, name='head')
 
