@@ -1,0 +1,56 @@
+"""CLI smoke tests: arg parsing + config resolution (no dataset needed)."""
+import dataclasses
+
+import pytest
+
+from vampire_tpu.cli import build_argparser
+from vampire_tpu.configs import ablation_config, flagship_config
+
+
+def test_argparser_defaults():
+    args = build_argparser().parse_args([])
+    assert args.exp == 'lss_inpaintor_depth_semantic'
+    assert args.batch_size_per_device == 8
+    assert args.max_epochs == 24
+    assert not args.validate and not args.test and not args.predict
+
+
+def test_argparser_modes():
+    args = build_argparser().parse_args(['-v', '--ckpt-step', '23', '-b', '2'])
+    assert args.validate and args.ckpt_step == 23
+    assert args.batch_size_per_device == 2
+    args = build_argparser().parse_args(['-t', '--vis'])
+    assert args.test and args.vis
+    args = build_argparser().parse_args(['-p', '--trainval', '--use-ema'])
+    assert args.predict and args.trainval and args.use_ema
+
+
+@pytest.mark.parametrize('name,variant,weights', [
+    ('bilinear', 'bilinear', (0., 0., 0., 0., 0.)),
+    ('lss', 'lss', (0., 0., 0., 0., 0.)),
+    ('lss_inpaintor', 'lss_inpaintor', (0., 0., 0., 0., 0.)),
+    ('lss_inpaintor_depth', 'lss_inpaintor', (1., 0., 0., 0., 0.)),
+    ('lss_inpaintor_depth_semantic', 'lss_inpaintor', (1., 1., 0., 0., 0.)),
+])
+def test_ablation_presets_match_reference(name, variant, weights):
+    """Weights/backbone per reference ablation scripts
+    (src/exps/nuscenes/ablation/*.py:203-209)."""
+    cfg = ablation_config(name)
+    assert cfg.backbone.variant == variant
+    assert cfg.train.loss_weights == weights
+    assert cfg.train.task_weights == (1.0, 1.0, 1.0)
+
+
+def test_flagship_is_depth_semantic():
+    cfg = flagship_config()
+    assert cfg.backbone.variant == 'lss_inpaintor'
+    assert cfg.train.loss_weights == (1., 1., 0., 0., 0.)
+    # the reference training recipe (base_exp.py:931-943, base_cli.py:72-92)
+    assert cfg.train.basic_lr_per_img == pytest.approx(2e-4 / 8)
+    assert cfg.train.weight_decay == 1e-7
+    assert cfg.train.lr_milestones == (19, 23)
+    assert cfg.train.gradient_clip_val == 35.0
+    assert cfg.train.check_val_every_n_epoch == 4
+    assert cfg.backbone.depth_channels == 86
+    assert cfg.backbone.feat_hw == (64, 176)
+    assert cfg.head.feature_map_size == (128, 128)
