@@ -170,11 +170,25 @@ def fake_nusc(tmp_path_factory):
                           rotation=[1.0, 0, 0, 0],
                           velocity=np.zeros(3),
                           num_lidar_pts=5, num_radar_pts=0)]
+        # one camera sweep frame: same images, ego pose displaced 0.5m back
+        # (a real prev-frame pose), so sensor2sensor is a true translation
+        sweep_cam = {}
+        for cam, ci in cam_infos.items():
+            sw = dict(ci)
+            sw['ego_pose'] = dict(rotation=[1.0, 0, 0, 0],
+                                  translation=[99.5 + si, 50.0, 0.0])
+            sw['timestamp'] = ci['timestamp'] - 1
+            sweep_cam[cam] = sw
+        sweep_lidar = {'LIDAR_TOP': dict(
+            lidar_infos['LIDAR_TOP'],
+            ego_pose=dict(rotation=[1.0, 0, 0, 0],
+                          translation=[99.5 + si, 50.0, 0.0]),
+            timestamp=si * 5 - 1)}
         infos.append(dict(sample_token=f's{si}', timestamp=si,
                           scene_token='scene0', cam_infos=cam_infos,
                           lidar_infos=lidar_infos,
                           occ_infos=dict(occ_gt_path=f'occ/s{si}.npz'),
-                          cam_sweeps=[], lidar_sweeps=[],
+                          cam_sweeps=[sweep_cam], lidar_sweeps=[sweep_lidar],
                           ann_infos=ann_infos))
     with open(root / 'infos_train.pkl', 'wb') as f:
         pickle.dump(infos, f)
@@ -213,6 +227,68 @@ def test_dataset_end_to_end(fake_nusc):
     batches = list(loader)
     assert len(batches) == 1
     assert batches[0]['points'].shape == (2, 2048, 3)
+
+
+def test_dataset_multi_sweep(fake_nusc):
+    """Sweep/key-frame selection parity (nusc_det_seg_dataset.py:799-837):
+    frame axis appears, sensor2sensor is a REAL transform for sweep frames,
+    scene boundaries fall back to the key frame."""
+    ds = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(fake_nusc),
+        info_paths=str(fake_nusc / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='train', max_points=2048,
+        sweep_idxes=[0], key_idxes=[-1])
+    # frames per sample: (key + 1 sweep) x (idx, idx-1) = 4
+    s = ds[1]
+    assert s['imgs'].shape == (4, 6, 256, 704, 3)
+    assert s['sensor2ego'].shape == (4, 6, 4, 4)
+    assert s['sensor2sensor'].shape == (4, 6, 4, 4)
+    assert s['depth_labels'].shape == (4, 6, 256, 704)
+    # frame 0 is the key: s2s == identity
+    np.testing.assert_allclose(s['sensor2sensor'][0], np.eye(4)[None].repeat(6, 0),
+                               atol=1e-5)
+    # frame 1 is the cam sweep of the key: its ego pose is 0.5m behind, so
+    # keysensor2sweepsensor must NOT be identity and must encode ~0.5m
+    s2s_sweep = s['sensor2sensor'][1]
+    assert not np.allclose(s2s_sweep[0], np.eye(4), atol=1e-3)
+    np.testing.assert_allclose(np.linalg.norm(s2s_sweep[:, :3, 3], axis=1),
+                               0.5, atol=1e-4)
+    # frame 2 is the PREVIOUS key frame (key_idx=-1): different images, and
+    # its sensor2ego includes the 1m ego displacement between samples
+    s2e_prev = s['sensor2ego'][2]
+    assert not np.allclose(s2e_prev, s['sensor2ego'][0], atol=1e-3)
+
+    # scene boundary: idx 0 has no previous frame -> falls back to itself,
+    # so frames 2/3 duplicate frames 0/1
+    s0 = ds[0]
+    np.testing.assert_allclose(s0['sensor2ego'][2], s0['sensor2ego'][0],
+                               atol=1e-6)
+
+    # single-frame layout unchanged (regression for the model contract)
+    ds1 = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(fake_nusc),
+        info_paths=str(fake_nusc / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='train', max_points=2048)
+    assert ds1[0]['imgs'].shape == (6, 256, 704, 3)
+
+
+def test_per_camera_ida_augs(fake_nusc):
+    """The reference samples one ida augmentation per camera during training
+    (nusc_det_seg_dataset.py:596-598): with rand_flip on, the 6 cameras'
+    ida mats should not all be equal (probability 2^-6 per draw; we check
+    across a few samples)."""
+    ds = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(fake_nusc),
+        info_paths=str(fake_nusc / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='train', max_points=2048, seed=1)
+    diff = False
+    for _ in range(4):
+        ida = ds[0]['ida']
+        diff = diff or not all(np.allclose(ida[0], ida[i]) for i in range(6))
+    assert diff, 'per-camera ida augs should differ across cameras'
 
 
 def test_dataset_val_mode(fake_nusc):

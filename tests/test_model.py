@@ -16,6 +16,8 @@ from vampire_tpu.models.vampire import Vampire
 from vampire_tpu.models.centerpoint_head import decode_preds
 from vampire_tpu.training.losses import compute_losses
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def setup():

@@ -8,11 +8,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vampire_tpu.data.synthetic import synthetic_batch, tiny_config
 from vampire_tpu.models.vampire import Vampire
 from vampire_tpu.training.train_state import create_train_state
 from vampire_tpu.training.train_step import build_train_step, split_mats
+
+pytestmark = pytest.mark.slow
 
 
 def test_overfit_single_batch():

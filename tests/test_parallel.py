@@ -18,11 +18,66 @@ def test_mesh_construction():
     assert mesh.shape == {'dp': 4, 'cam': 2}
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+def test_dp_equivalence():
+    """A sharded step must produce the SAME loss/params as the identical
+    global computation on one device — the strongest multi-chip correctness
+    oracle expressible on the virtual mesh. Anchors the reference's DDP
+    grad-averaging + reduce_mean semantics (bev_depth_head.py:339,367): our
+    global-batch loss form makes dp sharding purely a layout change.
+    """
+    cfg = tiny_config()
+    B = 4
+    batch = synthetic_batch(cfg, batch_size=B, n_points=cfg.train.max_points,
+                            seed=7)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    mats = split_mats(batch)
+    model = Vampire(cfg.backbone, cfg.head, dtype=jnp.float32,
+                    lift_vectorized=True)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch['imgs'], mats, points=batch['points'],
+        train=True))()
+
+    def run(mesh):
+        # num_devices fixed at 1 in all runs: the loss clamp floor is part of
+        # the math, not the layout — only the sharding varies across runs.
+        state, tx = create_train_state(variables['params'],
+                                       variables['batch_stats'], cfg.train,
+                                       steps_per_epoch=10)
+        step = jax.jit(build_train_step(model, cfg, tx, num_devices=1))
+        if mesh is None:
+            dev = jax.devices()[0]
+            b = {k: jax.device_put(v, dev) for k, v in batch.items()}
+            s = jax.device_put(state, dev)
+        else:
+            specs = batch_pspecs(batch)
+            b = {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+                 for k, v in batch.items()}
+            s = jax.device_put(state, NamedSharding(mesh, P()))
+        new_state, logs = step(s, b)
+        return (np.asarray(logs['total_loss']),
+                np.asarray(logs['grad_norm']),
+                jax.device_get(new_state.params))
+
+    loss1, gn1, p1 = run(None)
+    for mesh in (make_mesh(dp=4, cam=1, devices=jax.devices()[:4]),
+                 make_mesh(dp=2, cam=2, devices=jax.devices()[:4])):
+        loss2, gn2, p2 = run(mesh)
+        np.testing.assert_allclose(loss1, loss2, rtol=2e-5)
+        np.testing.assert_allclose(gn1, gn2, rtol=2e-4)
+        flat1 = jax.tree.leaves(p1)
+        flat2 = jax.tree.leaves(p2)
+        for a, b_ in zip(flat1, flat2):
+            np.testing.assert_allclose(a, b_, rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_vectorized_lift_matches_loop():
     """Camera-sharded (vectorized) lift must equal the loop lift exactly."""
     cfg = tiny_config()

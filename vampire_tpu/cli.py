@@ -33,7 +33,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--data-root', default='data/nuScenes')
     p.add_argument('--workdir', default='./outputs')
     p.add_argument('--seed', type=int, default=0)
-    p.add_argument('--ckpt-step', type=int, default=None)
+    p.add_argument('--ckpt-step', type=int, default=None,
+                   help='checkpoint index: eval modes restore it; fit mode '
+                        'fine-tunes from its weights (reference --ckpt_path, '
+                        'base_cli.py:130-136)')
+    p.add_argument('--no-resume', action='store_true',
+                   help='fit: do NOT auto-resume from the latest checkpoint '
+                        'in the workdir')
     p.add_argument('--use-ema', action='store_true')
     p.add_argument('--num-workers', type=int, default=4)
     return p
@@ -101,7 +107,8 @@ def main(argv=None):
     train_loader = make_loader('trainval' if args.trainval else 'train',
                                'train', True)
     val_loader = make_loader('val', 'val', False)
-    trainer.fit(train_loader, val_loader)
+    trainer.fit(train_loader, val_loader, resume=not args.no_resume,
+                finetune_from=args.ckpt_step)
 
 
 if __name__ == '__main__':

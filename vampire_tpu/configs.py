@@ -218,6 +218,8 @@ class TrainConfig:
     # (vampire2..._depth_semantic.py:203-209)
     loss_weights: Tuple[float, float, float, float, float] = (1.0, 1.0, 0.0, 0.0, 0.0)
     data_root: str = 'data/nuScenes'
+    # nuScenes DB version for official eval (det_evaluators.py:49,80)
+    nusc_version: str = 'v1.0-trainval'
     batch_size_per_device: int = 8
     num_devices: int = 1
     basic_lr_per_img: float = 2e-4 / 8

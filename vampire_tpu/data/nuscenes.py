@@ -295,6 +295,50 @@ class NuscDetSegDataset:
             return np.zeros((0, 9), np.float32), np.zeros((0,), np.int64)
         return np.stack(boxes), np.asarray(labels, np.int64)
 
+    def _select_frames(self, idx: int, cams: Sequence[str]
+                       ) -> List[Tuple[dict, dict]]:
+        """Key-frame + sweep selection with scene-boundary handling
+        (nusc_det_seg_dataset.py:790-837). Returns a list of
+        (cam_infos, lidar_info) pairs; entry 0 is the key frame.
+
+        For each key offset in self.key_idxes ([0] first): use idx + offset,
+        falling back to idx when it precedes the dataset or crosses a scene
+        boundary. After each key frame, for each requested sweep index pick
+        the latest cam_sweeps entry <= that index containing every chosen
+        camera, pairing it with the lidar sweep closest in mean timestamp
+        (or the key frame's lidar/cams if no usable sweep exists — the
+        reference silently drops the frame in that corner, which would break
+        its own stacking; we keep the frame count fixed, DEVIATIONS).
+        """
+        frames: List[Tuple[dict, dict]] = []
+        scene = self.infos[idx].get('scene_token')
+        for key_idx in self.key_idxes:
+            cur = idx + key_idx
+            if cur < 0 or self.infos[cur].get('scene_token') != scene:
+                cur = idx
+            info = self.infos[cur]
+            frames.append((info['cam_infos'], info['lidar_infos']))
+            cam_sweeps = info.get('cam_sweeps', [])
+            lidar_sweeps = info.get('lidar_sweeps', [])
+            lidar_ts = np.asarray([s['LIDAR_TOP']['timestamp']
+                                   for s in lidar_sweeps], np.float64)
+            for sweep_idx in self.sweeps_idx:
+                chosen = None
+                for i in range(min(len(cam_sweeps) - 1, sweep_idx), -1, -1):
+                    sw = cam_sweeps[i]
+                    if all(c in sw for c in cams):
+                        if lidar_sweeps:
+                            ts = float(np.mean([v['timestamp']
+                                                for v in sw.values()]))
+                            li = int(np.argmin(np.abs(lidar_ts - ts)))
+                            chosen = (sw, lidar_sweeps[li])
+                        else:
+                            chosen = (sw, info['lidar_infos'])
+                        break
+                frames.append(chosen if chosen is not None
+                              else (info['cam_infos'], info['lidar_infos']))
+        return frames
+
     # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> Dict[str, object]:
         from PIL import Image
@@ -302,34 +346,56 @@ class NuscDetSegDataset:
             idx = self.sample_indices[idx]
         info = self.infos[idx]
         cams = self._choose_cams()
-        key_cam_infos = info['cam_infos']
-        lidar_info = info['lidar_infos']
+        frames = self._select_frames(idx, cams)
+        key_cam_infos, lidar_info = frames[0]
+        multi_frame = len(frames) > 1
 
-        pts4, pt_labels = self._get_lidar(lidar_info)
-        resize, resize_dims, crop, flip, rotate = self._sample_ida()
+        # per-frame lidar clouds (frame 0 = key cloud, used for everything
+        # downstream; later frames only supervise their own depth maps,
+        # nusc_det_seg_dataset.py:839-845,661-669)
+        frame_lidar = [self._get_lidar(li) for _, li in frames]
+        pts4, pt_labels = frame_lidar[0]
         fH, fW = self.ida_aug.final_dim
 
-        imgs, s2e_mats, intrin_mats, ida_mats, s2s_mats = [], [], [], [], []
-        depth_maps, label_maps = [], []
-        ida_mat = T.ida_matrix(resize, crop, flip, rotate)
+        # one ida sample per CAMERA, shared by that camera's frames
+        # (reference samples inside the cam loop, :596-598)
+        cam_augs = {cam: self._sample_ida() for cam in cams}
+
+        # leading frame axis; squeezed away below when single-frame
+        imgs = [[] for _ in frames]
+        s2e_mats = [[] for _ in frames]
+        intrin_mats = [[] for _ in frames]
+        ida_mats = [[] for _ in frames]
+        s2s_mats = [[] for _ in frames]
+        depth_maps = [[] for _ in frames]
+        label_maps = [[] for _ in frames]
         for cam in cams:
-            ci = key_cam_infos[cam]
-            img = Image.open(os.path.join(self.data_root, ci['filename']))
-            s2e, s2s, intrin = self._cam_matrices(ci, ci)
-            s2e_mats.append(s2e)
-            s2s_mats.append(s2s)
-            intrin_mats.append(intrin)
-            ida_mats.append(ida_mat)
-            if self.mode == 'train':
-                uvd, lab = self._lidar_to_image(pts4, pt_labels, img.size,
-                                                lidar_info, ci)
-                dmap, lmap = T.make_depth_label(uvd, lab, resize, (fH, fW),
-                                                crop, flip, rotate)
-                depth_maps.append(dmap)
-                label_maps.append(lmap)
-            img = T.apply_img_transform(img, resize_dims, crop, flip, rotate)
-            imgs.append(T.normalize_image(np.asarray(img), self.img_mean,
-                                          self.img_std))
+            resize, resize_dims, crop, flip, rotate = cam_augs[cam]
+            ida_mat = T.ida_matrix(resize, crop, flip, rotate)
+            key_ci = key_cam_infos[cam]
+            for f, (f_cam_infos, f_lidar_info) in enumerate(frames):
+                ci = f_cam_infos[cam]
+                img = Image.open(os.path.join(self.data_root, ci['filename']))
+                s2e, s2s, intrin = self._cam_matrices(key_ci, ci)
+                s2e_mats[f].append(s2e)
+                s2s_mats[f].append(s2s)
+                intrin_mats[f].append(intrin)
+                ida_mats[f].append(ida_mat)
+                if self.mode == 'train':
+                    # every frame supervises its own depth map with its own
+                    # cloud (:661-669 runs per sweep frame)
+                    uvd, lab = self._lidar_to_image(
+                        frame_lidar[f][0], frame_lidar[f][1], img.size,
+                        f_lidar_info, ci)
+                    dmap, lmap = T.make_depth_label(uvd, lab, resize,
+                                                    (fH, fW), crop, flip,
+                                                    rotate)
+                    depth_maps[f].append(dmap)
+                    label_maps[f].append(lmap)
+                img = T.apply_img_transform(img, resize_dims, crop, flip,
+                                            rotate)
+                imgs[f].append(T.normalize_image(np.asarray(img),
+                                                 self.img_mean, self.img_std))
 
         ego_pts = self._lidar_to_ego(pts4, lidar_info)
         gt_boxes, gt_labels = (self._get_gt(info, cams)
@@ -342,12 +408,18 @@ class NuscDetSegDataset:
         bda_mat = np.eye(4, dtype=np.float32)
         bda_mat[:3, :3] = bda_rot
 
+        def stack_frames(per_frame):
+            """(F, N, ...) when multi-frame, (N, ...) when single-frame —
+            the model's num_sweeps==1 contract is the squeezed layout."""
+            arr = np.stack([np.stack(x) for x in per_frame])
+            return arr if multi_frame else arr[0]
+
         sample: Dict[str, object] = dict(
-            imgs=np.stack(imgs),                        # (N, H, W, 3)
-            sensor2ego=np.stack(s2e_mats),
-            intrin=np.stack(intrin_mats),
-            ida=np.stack(ida_mats),
-            sensor2sensor=np.stack(s2s_mats),
+            imgs=stack_frames(imgs),                    # ([F,] N, H, W, 3)
+            sensor2ego=stack_frames(s2e_mats),
+            intrin=stack_frames(intrin_mats),
+            ida=stack_frames(ida_mats),
+            sensor2sensor=stack_frames(s2s_mats),
             bda=bda_mat,
             token=info['sample_token'],
             lidar_token=lidar_info['LIDAR_TOP'].get('lidar_token', ''),
@@ -371,8 +443,8 @@ class NuscDetSegDataset:
                       num_points=np.int32(n))
 
         if self.mode == 'train':
-            sample['depth_labels'] = np.stack(depth_maps)     # (N, fH, fW)
-            sample['seg_labels'] = np.stack(label_maps).astype(np.int32)
+            sample['depth_labels'] = stack_frames(depth_maps)  # ([F,] N, fH, fW)
+            sample['seg_labels'] = stack_frames(label_maps).astype(np.int32)
             seg, height, mask = T.make_bev_seg_map(ego_pts, pt_labels)
             sample.update(bev_seg=seg, bev_height=height, bev_mask=mask)
             sample.update(assign_targets_single(gt_boxes, gt_labels,

@@ -137,7 +137,8 @@ class DetNuscEvaluator:
             return None
         nusc = NuScenes(version=self.version, dataroot=self.data_root,
                         verbose=False)
-        eval_set = {'v1.0-mini': 'mini_val', 'v1.0-trainval': 'val'}[self.version]
+        eval_set = {'v1.0-mini': 'mini_val', 'v1.0-trainval': 'val',
+                    'v1.0-test': 'test'}[self.version]
         nusc_eval = NuScenesEval(nusc,
                                  config=config_factory(self.eval_version),
                                  result_path=result_path, eval_set=eval_set,

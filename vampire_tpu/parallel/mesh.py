@@ -35,8 +35,8 @@ def make_mesh(dp: Optional[int] = None, cam: int = 1,
 
 # leading-axis layout of a training batch: everything is batch-major except
 # the camera-carrying arrays which also shard their camera axis
-_CAM_AXIS_KEYS = ('imgs', 'sensor2ego', 'intrin', 'ida', 'depth_labels',
-                  'seg_labels')
+_CAM_AXIS_KEYS = ('imgs', 'sensor2ego', 'intrin', 'ida', 'sensor2sensor',
+                  'depth_labels', 'seg_labels')
 
 
 def batch_pspecs(batch: Dict[str, Any]) -> Dict[str, P]:

@@ -37,6 +37,8 @@ DEVICE_KEYS_EXCLUDE = ('meta',)
 class Trainer:
     def __init__(self, cfg: VampireConfig, workdir: str = './outputs',
                  mesh=None, lift_vectorized: Optional[bool] = None):
+        from ..utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.workdir = os.path.join(workdir, cfg.train.exp_name)
         os.makedirs(self.workdir, exist_ok=True)
@@ -125,16 +127,42 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, train_loader, val_loader=None,
             state: Optional[TrainState] = None,
-            log_every: int = 50, image_every: int = 500) -> TrainState:
+            log_every: int = 50, image_every: int = 500,
+            resume: bool = True,
+            finetune_from: Optional[int] = None) -> TrainState:
+        """Train loop.
+
+        resume: auto-restore the latest full checkpoint (params + opt state +
+            step) from this workdir and continue at the next epoch — the
+            crash-recovery path the reference leaves commented out
+            (base_cli.py:134).
+        finetune_from: checkpoint index whose *weights only* seed a fresh run
+            (optimizer state and schedule restart), mirroring the reference's
+            `--ckpt_path` fit behavior (base_cli.py:130-136,
+            load_from_checkpoint then fit-from-scratch).
+        """
         cfg = self.cfg
         steps_per_epoch = len(train_loader)
         if state is None:
             first = next(iter(train_loader))
             state = self.init_state(first, steps_per_epoch)
+        start_epoch = 0
+        if finetune_from is not None:
+            state = self.restore_checkpoint(state, step=finetune_from,
+                                            weights_only=True)
+            print(f'fine-tuning from checkpoint {finetune_from} '
+                  '(weights only, fresh optimizer)')
+        elif resume:
+            latest = self.checkpoint_manager().latest_step()
+            if latest is not None:
+                state = self.restore_checkpoint(state, step=latest)
+                start_epoch = latest + 1
+                print(f'resuming from checkpoint {latest} '
+                      f'(epoch {start_epoch}, step {int(state.step)})')
         train_step = jax.jit(build_train_step(self.model, cfg, self.tx,
                                               self.num_devices),
                              donate_argnums=0)
-        for epoch in range(cfg.train.max_epochs):
+        for epoch in range(start_epoch, cfg.train.max_epochs):
             t_ep = time.time()
             for it, batch in enumerate(train_loader):
                 dev_batch = self._to_device(batch)
@@ -199,14 +227,13 @@ class Trainer:
             Image.fromarray(img).save(os.path.join(d, f'{step:07d}_{name}.png'))
 
     def validate(self, val_loader, state: TrainState,
-                 use_ema: bool = False) -> Dict[str, float]:
+                 use_ema: Optional[bool] = None) -> Dict[str, float]:
         """Lidarseg + occupancy IoU over the val split (base_exp.py:634-663,
         880-910). Confusion matrices are computed on device; only two (C, C)
         arrays come back per batch."""
         from .train_step import build_metric_eval_step
         cfg = self.cfg
-        params = state.ema_params if (use_ema and state.ema_params is not None) \
-            else state.params
+        params = self._eval_params(state, use_ema)
         eval_step = jax.jit(build_metric_eval_step(self.model, cfg))
         val_iou = JaccardIndex(17, ignore_index=0)
         occ_iou = JaccardIndex(cfg.backbone.num_classes)
@@ -227,13 +254,24 @@ class Trainer:
         print(f'Current val occupancy miou is {occ_miou * 100:.3f}')
         return {'val/mIoU': miou, 'val/occ_mIoU': occ_miou}
 
-    def test(self, test_loader, state: TrainState, vis: bool = False) -> None:
+    def _eval_params(self, state: TrainState, use_ema: Optional[bool] = None):
+        """Params used for eval: the EMA sidecar when the run trained with
+        EMA (the reference evaluates the EMA .pth, ema.py:101-117)."""
+        if use_ema is None:
+            use_ema = self.cfg.train.use_ema
+        if use_ema and state.ema_params is not None:
+            return state.ema_params
+        return state.params
+
+    def test(self, test_loader, state: TrainState, vis: bool = False,
+             use_ema: Optional[bool] = None) -> None:
         """Detection eval: device decode + host circle NMS + submission
         (base_exp.py:665-746, 912-929). With vis=True, dump per-frame pickles
         of rendered rgb/depth/seg/bev/occ instead (base_exp.py:678-708)."""
         from ..evaluation.det_evaluator import (DetNuscEvaluator,
                                                 apply_circle_nms)
         cfg = self.cfg
+        params = self._eval_params(state, use_ema)
         if vis:
             self._test_vis(test_loader, state)
             return
@@ -241,7 +279,7 @@ class Trainer:
         results, metas = [], []
         for batch in test_loader:
             dev = self._to_device(batch)
-            out = jax.device_get(eval_step(state.params, state.batch_stats,
+            out = jax.device_get(eval_step(params, state.batch_stats,
                                            dev))
             B = dev['imgs'].shape[0]
             for b in range(B):
@@ -254,7 +292,8 @@ class Trainer:
         evaluator = DetNuscEvaluator(
             class_names=[c for t in cfg.head.tasks for c in t],
             output_dir=os.path.join(self.workdir, 'detection_submit'),
-            data_root=cfg.train.data_root)
+            data_root=cfg.train.data_root,
+            version=cfg.train.nusc_version)
         evaluator.evaluate(results, metas)
 
     def _test_vis(self, loader, state: TrainState) -> None:
@@ -307,7 +346,8 @@ class Trainer:
                     pickle.dump(d, f)
                 idx += 1
 
-    def predict(self, loader, state: TrainState) -> None:
+    def predict(self, loader, state: TrainState,
+                use_ema: Optional[bool] = None) -> None:
         """Test-split submission: detection json + per-token lidarseg bins
         (base_exp.py:800-849, base_cli.py:112-129)."""
         from ..evaluation.det_evaluator import (DetNuscEvaluator,
@@ -315,6 +355,7 @@ class Trainer:
         from ..evaluation.lidarseg import lidarseg_labels, write_submission
         cfg = self.cfg
         model = self.model
+        eval_params = self._eval_params(state, use_ema)
 
         def predict_step(params, batch_stats, batch):
             mats = split_mats(batch)
@@ -328,7 +369,7 @@ class Trainer:
         results, metas, seg_results = [], [], []
         for batch in loader:
             dev = self._to_device(batch)
-            out = jax.device_get(step(state.params, state.batch_stats, dev))
+            out = jax.device_get(step(eval_params, state.batch_stats, dev))
             B = dev['imgs'].shape[0]
             for b in range(B):
                 results.append(apply_circle_nms(out['det'], cfg.head, b))
@@ -346,5 +387,6 @@ class Trainer:
         evaluator = DetNuscEvaluator(
             class_names=[c for t in cfg.head.tasks for c in t],
             output_dir=os.path.join(self.workdir, 'detection_submit'),
-            data_root=cfg.train.data_root)
+            data_root=cfg.train.data_root,
+            version='v1.0-test')
         evaluator.format_bbox(results, metas)
