@@ -31,6 +31,11 @@ def timeit(fn, args_list, iters=6, warmup=2):
     return min(ts)
 
 
+def record(results, name, value):
+    results[name] = value
+    print(f'[{name}] {value * 1000:.1f} ms', flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--stages', default='all')
@@ -86,7 +91,7 @@ def main():
             return sum(jnp.sum(x.astype(jnp.float32))
                        for x in jax.tree.leaves(outs))
         argsl = [(variables, batch['imgs'] + 0.001 * i) for i in range(3)]
-        results['full'] = timeit(full, argsl)
+        record(results, 'full', timeit(full, argsl))
 
     if 'camfeats' in stages:
         from vampire_tpu.models.resnet import ResNet
@@ -112,7 +117,7 @@ def main():
         ev = jax.jit(lambda: enc.init(key, x))()
         f = jax.jit(lambda v, xx: sum(jnp.sum(o.astype(jnp.float32))
                                       for o in jax.tree.leaves(enc.apply(v, xx))))
-        results['camfeats'] = timeit(f, [(ev, x + 0.001 * i) for i in range(3)])
+        record(results, 'camfeats', timeit(f, [(ev, x + 0.001 * i) for i in range(3)]))
 
     # shared synthetic tensors for the core ops
     depth = jax.nn.softmax(mk((N, fH, fW, D), k=1), -1).astype(jnp.bfloat16)
@@ -128,8 +133,8 @@ def main():
                 lambda dd, ff, c3: S.sample_outer_product_fused(
                     dd, ff, c3, align_corners=False))(dvol, f2, cc))
         f = jax.jit(lift)
-        results['lift'] = timeit(
-            f, [(depth + 1e-4 * i, feat, coords_lift) for i in range(3)])
+        record(results, 'lift', timeit(
+            f, [(depth + 1e-4 * i, feat, coords_lift) for i in range(3)]))
 
     if 'unet' in stages:
         from vampire_tpu.models.unet3d import Unet3D
@@ -137,23 +142,23 @@ def main():
         xin = mk((1, Z, Y, X, c.mid_channels + 3), jnp.bfloat16, k=4)
         ev = jax.jit(lambda: net.init(key, xin))()
         f = jax.jit(lambda v, xx: jnp.sum(net.apply(v, xx).astype(jnp.float32)))
-        results['unet'] = timeit(f, [(ev, xin + 0.001 * i) for i in range(3)])
+        record(results, 'unet', timeit(f, [(ev, xin + 0.001 * i) for i in range(3)]))
 
     fused = mk((1, Z, Y, X, 1 + K + 3), jnp.float32, k=5)
-    P_rays = N * D * fH * fW
+    P_rays = N * (D - 1) * fH * fW
 
     if 'points' in stages:
         pts = (jax.random.uniform(jax.random.PRNGKey(6),
                                   (1, 36864, 3)) * 2 - 1)
         f = jax.jit(lambda v, cc: jnp.sum(S.batched_grid_sample_3d_fused(
             v, cc, align_corners=True, padding_mode='border')))
-        results['points'] = timeit(f, [(fused[..., :K + 1] + 1e-4 * i, pts)
-                                       for i in range(3)])
+        record(results, 'points', timeit(f, [(fused[..., :K + 1] + 1e-4 * i, pts)
+                                          for i in range(3)]))
 
     if 'raytable' in stages:
         f = jax.jit(lambda v: jnp.sum(S.build_neighborhood_table(
             v[0].astype(jnp.bfloat16)).astype(jnp.float32)))
-        results['raytable'] = timeit(f, [(fused + 1e-4 * i,) for i in range(3)])
+        record(results, 'raytable', timeit(f, [(fused + 1e-4 * i,) for i in range(3)]))
 
     if 'raytake' in stages or 'rays' in stages:
         rc = (jax.random.uniform(jax.random.PRNGKey(7),
@@ -161,13 +166,14 @@ def main():
         f = jax.jit(lambda v, cc: jnp.sum(S.batched_grid_sample_3d_fused(
             v.astype(jnp.bfloat16), cc, align_corners=True,
             padding_mode='zeros')))
-        results['rays'] = timeit(f, [(fused + 1e-4 * i, rc) for i in range(3)])
+        record(results, 'rays', timeit(f, [(fused + 1e-4 * i, rc) for i in range(3)]))
 
     if 'composite' in stages:
+        # the model renders S = D-1 samples with a (D)-point geom for deltas
         geom = mk((1, N, D, fH, fW, 3), k=8) * 40
-        sdf = mk((1, N, D, fH, fW), k=9)
-        seg = mk((1, N, D, fH, fW, K), k=10)
-        rgb = jax.nn.sigmoid(mk((1, N, D, fH, fW, 3), k=11))
+        sdf = mk((1, N, D - 1, fH, fW), k=9)
+        seg = mk((1, N, D - 1, fH, fW, K), k=10)
+        rgb = jax.nn.sigmoid(mk((1, N, D - 1, fH, fW, 3), k=11))
         mids = jnp.asarray(G.make_camera_mids(c.d_bound))
         def comp(s, sg, rg, ge):
             out = R.render_camera_rays(s, sg, rg, ge, mids,
@@ -175,13 +181,13 @@ def main():
                                        c.d_bound[1])
             return sum(jnp.sum(o) for o in out)
         f = jax.jit(comp)
-        results['composite'] = timeit(
-            f, [(sdf + 1e-3 * i, seg, rgb, geom) for i in range(3)])
+        record(results, 'composite', timeit(
+            f, [(sdf + 1e-3 * i, seg, rgb, geom) for i in range(3)]))
 
     if 'head' in stages:
         from vampire_tpu.models.centerpoint_head import (BEVDepthHead,
                                                          decode_preds)
-        head = BEVDepthHead(cfg.head, dtype=jnp.bfloat16)
+        head = BEVDepthHead(cfg.head)
         xin = mk((1, 128, 128, 80), jnp.float32, k=12)
         ev = jax.jit(lambda: head.init(key, xin, False))()
         def h(v, xx):
@@ -191,7 +197,8 @@ def main():
                        for x in jax.tree.leaves(
                            [(d['bboxes'], d['scores']) for d in dec]))
         f = jax.jit(h)
-        results['head'] = timeit(f, [(ev, xin + 0.001 * i) for i in range(3)])
+        record(results, 'head', timeit(f, [(ev, xin + 0.001 * i)
+                                           for i in range(3)]))
 
     print('\n=== perf breakdown (ms) ===')
     for k2, v in results.items():

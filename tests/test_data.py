@@ -228,6 +228,15 @@ def test_dataset_end_to_end(fake_nusc):
     assert len(batches) == 1
     assert batches[0]['points'].shape == (2, 2048, 3)
 
+    # process workers deliver identical-shape batches (reference uses torch
+    # process workers, base_exp.py:954-1043)
+    ploader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                         use_processes=True)
+    pb = list(ploader)
+    assert len(pb) == 1
+    assert pb[0]['imgs'].shape == batches[0]['imgs'].shape
+    assert pb[0]['meta']['token'] == ['s0', 's1']
+
 
 def test_dataset_multi_sweep(fake_nusc):
     """Sweep/key-frame selection parity (nusc_det_seg_dataset.py:799-837):

@@ -1,5 +1,6 @@
 """Golden tests for densities and alpha compositing vs a torch oracle
 re-deriving base_vampire2.py:391-467 and render_utils.py."""
+import jax
 import numpy as np
 import torch
 
@@ -107,3 +108,47 @@ def test_render_bev_columns():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(bev_h), want_h.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sample_and_composite_rays_matches_unfused():
+    """The fused gather+composite path must equal grid_sample_3d_fused
+    followed by render_camera_rays exactly (same table dtype)."""
+    from vampire_tpu.core import sampling as S
+    rng = np.random.RandomState(5)
+    Z, Y, X, K = 5, 8, 8, 4
+    C = 1 + K + 3
+    N, Sn, h, w = 2, 7, 3, 4
+    vol = rng.randn(Z, Y, X, C).astype(np.float32)
+    geom = rng.uniform(-60, 60, (1, N, Sn + 1, h, w, 3)).astype(np.float32)
+    geom = np.sort(geom, axis=2)  # monotone along the ray for sane deltas
+    xb, yb, zb = (-51.2, 51.2, 0.4), (-51.2, 51.2, 0.4), (-5.0, 3.0, 0.4)
+    from vampire_tpu.core import geometry as G
+    norm = G.normalize_coords(jnp.asarray(geom[:, :, :-1]), xb, yb, zb)
+    valid = G.inrange_mask(norm).astype(jnp.float32)
+    delta = jnp.linalg.norm(jnp.asarray(geom[:, :, 1:])
+                            - jnp.asarray(geom[:, :, :-1]), axis=-1)
+    mids = jnp.linspace(2.0, 70.4, Sn)
+    dens_fn = lambda x: jax.nn.sigmoid(x)
+
+    # unfused oracle
+    samp = S.grid_sample_3d_fused(jnp.asarray(vol), norm.reshape(-1, 3),
+                                  align_corners=True, padding_mode='zeros')
+    samp = samp.reshape(1, N, Sn, h, w, C) * valid[..., None]
+    want_rgb, want_seg, want_depth = R.render_camera_rays(
+        samp[..., 0], samp[..., 1:K + 1], samp[..., K + 1:K + 4],
+        jnp.asarray(geom), mids, dens_fn, 70.4)
+
+    table = S.build_neighborhood_table(jnp.asarray(vol))
+    def rm(x, tail):
+        return jnp.moveaxis(x, 2, 4).reshape((1, N * h * w, Sn) + tail)
+    rgb, seg, depth = jax.vmap(
+        lambda t, cc, vv, dd: R.sample_and_composite_rays(
+            t, (Z, Y, X), K, cc, vv, dd, mids, dens_fn, 70.4,
+            chunk_rays=8))(table[None], rm(norm, (3,)), rm(valid, ()),
+                           rm(delta, ()))
+    np.testing.assert_allclose(rgb.reshape(1, N, h, w, 3), want_rgb,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(seg.reshape(1, N, h, w, K), want_seg,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(depth.reshape(1, N, h, w), want_depth,
+                               rtol=1e-4, atol=1e-4)

@@ -97,6 +97,91 @@ def render_camera_rays(sdf: jnp.ndarray,
     return rgb_preds, seg_preds, depth_preds
 
 
+def sample_and_composite_rays(table: jnp.ndarray,
+                              vol_shape: Tuple[int, int, int],
+                              num_classes: int,
+                              coords: jnp.ndarray,
+                              valid: jnp.ndarray,
+                              deltas: jnp.ndarray,
+                              camera_mids: jnp.ndarray,
+                              density_fn,
+                              bg_depth: float,
+                              chunk_rays: int = 768
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused field-sampling + alpha compositing over whole rays.
+
+    Semantically identical to grid_sample_3d_fused(fused_vol, coords) * valid
+    followed by render_camera_rays, but chunked per RAY so the sampled field
+    tensor (S x 22 floats per ray, ~0.5 GB/frame) never materializes in HBM —
+    each chunk gathers its corner rows, composites in VMEM, and writes only
+    the per-ray results. Chunks are rematerialized in backward (re-gather
+    instead of storing gathered rows).
+
+    Args:
+      table: build_neighborhood_table(fused_vol) where fused_vol is
+        (Z, Y, X, 1 + K + 3) channels [sdf | seg logits | rgb].
+      vol_shape: (Z, Y, X) of the fused volume.
+      num_classes: K.
+      coords: (Rays, S, 3) normalized sample coords (x, y, z), align_corners
+        =True, zeros padding (the camera-branch semantics).
+      valid: (Rays, S) in-range mask (float or bool).
+      deltas: (Rays, S) per-sample path lengths.
+      camera_mids: (S,) depth-bin midpoints.
+      density_fn: SDF -> density.
+      bg_depth: background depth for (1 - acc).
+
+    Returns:
+      (rgb (Rays, 3), seg (Rays, K), depth (Rays,)) fp32.
+    """
+    from . import sampling as S
+    D, H, W = vol_shape
+    K = num_classes
+    C = 1 + K + 3
+    flat = table.reshape(table.shape[0], -1)
+    R, S_n = coords.shape[:2]
+    pad = (-R) % chunk_rays
+    coords_p = jnp.pad(coords, ((0, pad), (0, 0), (0, 0)))
+    valid_p = jnp.pad(valid.astype(jnp.float32), ((0, pad), (0, 0)))
+    deltas_p = jnp.pad(deltas.astype(jnp.float32), ((0, pad), (0, 0)))
+    n_chunks = (R + pad) // chunk_rays
+    mids = camera_mids.astype(jnp.float32)
+
+    @jax.checkpoint
+    def one_chunk(args):
+        cc, val, dl = args                       # (cr, S, 3), (cr, S), (cr, S)
+        c2 = cc.reshape(-1, 3)
+        bx, ax = S._axis_window_weights(c2[:, 0], W, True, False)
+        by, ay = S._axis_window_weights(c2[:, 1], H, True, False)
+        bz, az = S._axis_window_weights(c2[:, 2], D, True, False)
+        rows = (bz * (H + 1) + by) * (W + 1) + bx
+        w8 = (az[:, :, None, None] * ay[:, None, :, None]
+              * ax[:, None, None, :]).reshape(-1, 8)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
+        samp = samp.reshape(chunk_rays, S_n, C) * val[..., None]
+        sdf = samp[..., 0]
+        seg = samp[..., 1:K + 1]
+        rgb = samp[..., K + 1:K + 4]
+        density = density_fn(sdf)
+        sd = density * dl
+        alpha = 1.0 - jnp.exp(-sd)
+        trans = jnp.exp(-(jnp.cumsum(sd, axis=-1) - sd))
+        w = alpha * trans                                       # (cr, S)
+        acc = jnp.sum(w, axis=-1)
+        rgb_o = jnp.sum(w[..., None] * rgb, axis=1)
+        seg_o = jnp.sum(w[..., None] * seg, axis=1)
+        depth_o = jnp.sum(w * mids[None, :], axis=1) \
+            + (1.0 - acc) * bg_depth
+        return jnp.concatenate([rgb_o, seg_o, depth_o[:, None]], axis=-1)
+
+    outs = jax.lax.map(one_chunk,
+                       (coords_p.reshape(n_chunks, chunk_rays, S_n, 3),
+                        valid_p.reshape(n_chunks, chunk_rays, S_n),
+                        deltas_p.reshape(n_chunks, chunk_rays, S_n)))
+    out = outs.reshape(-1, C)[:R]
+    return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
+
+
 def render_bev_columns(density: jnp.ndarray,
                        seg_logits: jnp.ndarray,
                        rgb: jnp.ndarray,

@@ -295,11 +295,18 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
 
 def batched_grid_sample_3d_fused(vol, coords, align_corners=True,
                                  padding_mode='zeros', chunk=65536,
-                                 out_dtype=jnp.float32):
+                                 out_dtype=jnp.float32, tables=None):
+    """vmap of grid_sample_3d_fused; pass `tables` (B-leading stack of
+    build_neighborhood_table outputs) to amortize the table build across
+    several sample sites on the same volume (measured: the per-site fp32
+    table build costs ~90ms/frame at flagship shapes — far more than the
+    gather it feeds)."""
     fn = functools.partial(grid_sample_3d_fused, align_corners=align_corners,
                            padding_mode=padding_mode, chunk=chunk,
                            out_dtype=out_dtype)
-    return jax.vmap(fn)(vol, coords)
+    if tables is None:
+        return jax.vmap(fn)(vol, coords)
+    return jax.vmap(lambda v, c, t: fn(v, c, table=t))(vol, coords, tables)
 
 
 def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,

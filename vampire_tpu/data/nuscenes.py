@@ -484,12 +484,32 @@ def collate(samples: List[Dict[str, object]]) -> Dict[str, object]:
     return out
 
 
+_WORKER_DS = None
+
+
+def _proc_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _proc_fetch(idxs):
+    return collate([_WORKER_DS[int(i)] for i in idxs])
+
+
 class DataLoader:
-    """Threaded prefetching loader (stand-in for torch DataLoader workers)."""
+    """Prefetching loader with thread or process workers.
+
+    The reference uses torch DataLoader process workers (base_exp.py:954-1043,
+    num_workers=4). PIL JPEG decode of 6x1600x900 images per sample is
+    GIL-bound under threads, so use_processes=True forks worker processes
+    (dataset state is inherited copy-on-write; batches return via pickle).
+    Threads remain the default where the host pipeline is not the bottleneck
+    or fork is undesirable.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_processes: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -497,29 +517,50 @@ class DataLoader:
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.use_processes = use_processes
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self):
+    def _pool(self):
+        if self.use_processes:
+            import multiprocessing as mp
+            ctx = mp.get_context('fork')
+            return ctx.Pool(self.num_workers, initializer=_proc_init,
+                            initargs=(self.dataset,))
         import concurrent.futures as cf
+        return cf.ThreadPoolExecutor(self.num_workers)
+
+    def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         n_batches = len(self)
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+        pool = self._pool()
+        try:
             futures = []
+
             def submit(bi):
                 idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                futures.append(pool.submit(
-                    lambda ii: collate([self.dataset[int(i)] for i in ii]),
-                    idxs))
+                if self.use_processes:
+                    futures.append(pool.apply_async(_proc_fetch, (idxs,)))
+                else:
+                    futures.append(pool.submit(
+                        lambda ii: collate([self.dataset[int(i)] for i in ii]),
+                        idxs))
             for bi in range(min(self.prefetch, n_batches)):
                 submit(bi)
             for bi in range(n_batches):
-                batch = futures.pop(0).result()
+                fut = futures.pop(0)
+                batch = fut.get() if self.use_processes else fut.result()
                 nxt = bi + self.prefetch
                 if nxt < n_batches:
                     submit(nxt)
                 yield batch
+        finally:
+            if self.use_processes:
+                pool.terminate()
+                pool.join()
+            else:
+                pool.shutdown(wait=False)

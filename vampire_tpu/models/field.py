@@ -238,24 +238,27 @@ class FieldBackbone(nn.Module):
             numer, denom = step(n, (numer, denom))
         return numer / (denom + 1e-6)
 
-    def _query_points(self, seg_vol, sdf_vol, points):
+    def _query_points(self, fused_vol, tables, points):
         """Padded point queries (base_vampire2.py:576-596).
 
-        points: (B, P, 3) ego xyz (padded). Returns (pts_logits (B,P,K),
-        pts_sdf (B,P)).
+        points: (B, P, 3) ego xyz (padded). Samples the shared fused-field
+        corner table (channels [sdf | seg | rgb]) — the per-site table build
+        used to cost ~90ms/frame, far more than this 36k-row gather.
+        Returns (pts_logits (B,P,K), pts_sdf (B,P)).
         """
         c = self.cfg
+        K = c.num_classes
         norm = G.normalize_coords(points, c.x_bound_seg, c.y_bound_seg,
                                   c.z_bound_seg)
         # one take for logits (border) and sdf: for in-range points border ==
         # zeros sampling exactly, and the sdf is masked to 0 out of range just
         # like the reference (base_vampire2.py:594-595)
-        both = jnp.concatenate([seg_vol, sdf_vol], axis=-1)
-        samp = S.batched_grid_sample_3d_fused(both, norm,
+        samp = S.batched_grid_sample_3d_fused(fused_vol, norm,
                                               align_corners=True,
-                                              padding_mode='border')
-        pts_logits = samp[..., :-1]
-        pts_sdf = samp[..., -1] * G.inrange_mask(norm).astype(jnp.float32)
+                                              padding_mode='border',
+                                              tables=tables)
+        pts_logits = samp[..., 1:K + 1]
+        pts_sdf = samp[..., 0] * G.inrange_mask(norm).astype(jnp.float32)
         return pts_logits, pts_sdf
 
     def _query_occ(self, seg_vol, sdf_vol, bda):
@@ -290,30 +293,40 @@ class FieldBackbone(nn.Module):
                                                padding_mode='zeros')[..., 0]
         return occ_logits, jnp.tanh(occ_density)
 
-    def _render(self, geom_xyz, sdf_vol, seg_vol, rgb_vol, base_vol):
+    def _render(self, geom_xyz, fused, tables, base_vol):
         """Both rendering branches (base_vampire2.py:391-467).
 
-        geom_xyz: (B, N, D, fH, fW, 3). Volumes are (B, Z, Y, X, C*) fp32.
+        geom_xyz: (B, N, D, fH, fW, 3). fused: (B, Z, Y, X, 1+K+3) fp32
+        [sdf | seg | rgb]; tables: its shared bf16 corner-block tables.
         Returns camera renders + bev renders + bev density + voxel_output.
         """
         c = self.cfg
         K = c.num_classes
-        fused = jnp.concatenate([sdf_vol, seg_vol, rgb_vol], axis=-1)
         geom_xyz = jnp.nan_to_num(geom_xyz, nan=-1e3)
         norm_geom = G.normalize_coords(geom_xyz[:, :, :-1], c.x_bound_seg,
                                        c.y_bound_seg, c.z_bound_seg)
         valid = G.inrange_mask(norm_geom).astype(jnp.float32)
-        B, N = norm_geom.shape[:2]
-        # bf16 sample table: halves the gather bytes; weights/accumulation
-        # stay fp32 (the reference samples an fp16 volume under AMP)
-        samp = S.batched_grid_sample_3d_fused(
-            fused.astype(self.sample_dtype), norm_geom.reshape(B, -1, 3),
-            align_corners=True, padding_mode='zeros'
-        ).reshape(*norm_geom.shape[:-1], 1 + K + 3)
-        samp = samp * valid[..., None]
-        rgb_p, seg_p, depth_p = R.render_camera_rays(
-            samp[..., 0], samp[..., 1:K + 1], samp[..., K + 1:K + 4],
-            geom_xyz, self.camera_mids, self._density, c.d_bound[1])
+        B, N, Snum, fh, fw = norm_geom.shape[:5]
+        delta = jnp.linalg.norm(
+            geom_xyz[:, :, 1:].astype(jnp.float32)
+            - geom_xyz[:, :, :-1].astype(jnp.float32), axis=-1)
+        # ray-major layout: (B, N*fh*fw rays, S, ...)
+        def ray_major(x, tail):
+            return jnp.moveaxis(x, 2, 4).reshape((B, N * fh * fw, Snum) + tail)
+        coords_r = ray_major(norm_geom, (3,))
+        valid_r = ray_major(valid, ())
+        delta_r = ray_major(delta, ())
+        Zs, Ys, Xs = c.grid_zyx('seg')
+        # fused gather + per-ray compositing: the (rays, S, 22) sampled field
+        # lives only in VMEM chunks (rendering.sample_and_composite_rays)
+        rgb_p, seg_p, depth_p = jax.vmap(
+            lambda t, cc, vv, dd: R.sample_and_composite_rays(
+                t, (Zs, Ys, Xs), K, cc, vv, dd, self.camera_mids,
+                self._density, c.d_bound[1]))(tables, coords_r, valid_r,
+                                              delta_r)
+        rgb_p = rgb_p.reshape(B, N, fh, fw, 3)
+        seg_p = seg_p.reshape(B, N, fh, fw, K)
+        depth_p = depth_p.reshape(B, N, fh, fw)
 
         # BEV branch over the (always static) det grid, z flipped
         # (sky -> ground); separable interpolation matmuls replace the gather
@@ -377,9 +390,16 @@ class FieldBackbone(nn.Module):
             rgb_vol = jax.nn.sigmoid(self.rgb_conv(base).astype(jnp.float32))
         base_f32 = base.astype(jnp.float32)
 
+        # ONE shared corner-block table of the fused field [sdf | seg | rgb]
+        # (bf16, like the reference's fp16-under-AMP sampled volume) serves
+        # the point queries AND the camera-ray sampling
+        fused = jnp.concatenate([sdf_vol, seg_vol, rgb_vol], axis=-1)
+        tables = jax.vmap(S.build_neighborhood_table)(
+            fused.astype(self.sample_dtype))
+
         pts_logits = pts_sdf = None
         if points is not None:
-            pts_logits, pts_sdf = self._query_points(seg_vol, sdf_vol, points)
+            pts_logits, pts_sdf = self._query_points(fused, tables, points)
 
         occ_logits, occ_density = self._query_occ(seg_vol, sdf_vol,
                                                   mats.get('bda'))
@@ -388,7 +408,7 @@ class FieldBackbone(nn.Module):
                                   mats['intrin'], mats['ida'],
                                   mats.get('bda'))
         (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height, bev_density,
-         vox_out) = self._render(geom_xyz, sdf_vol, seg_vol, rgb_vol, base_f32)
+         vox_out) = self._render(geom_xyz, fused, tables, base_f32)
 
         # x4 upsample of the camera renders (base_vampire2.py:616-626)
         up = c.upsample_factor
