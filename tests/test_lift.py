@@ -1,0 +1,104 @@
+"""Block-compacted lifting: exactness vs the dense lift + coverage margin.
+
+The compacted lift (`FieldBackbone._lift_compact`) gathers only the top-K
+live (Y, X) voxel blocks per camera. It is EXACT whenever K covers every
+block containing a valid query; these tests pin (a) numerical equality with
+the dense masked-mean lift (base_vampire2.py:483-516 semantics) and (b) the
+worst-case live-block count of the flagship geometry under the reference's
+full bda augmentation range, with margin against the configured K=448.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampire_tpu.configs import flagship_config
+from vampire_tpu.core import geometry as G
+from vampire_tpu.data.synthetic import camera_rig, tiny_config
+from vampire_tpu.models.field import FieldBackbone
+
+
+def _lift(bc, mats, depth, feat):
+    m = FieldBackbone(bc, dtype=jnp.float32)
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), depth, feat, mats,
+                               method='_lift'))()
+    return jax.jit(lambda: m.apply(v, depth, feat, mats, method='_lift'))()
+
+
+def test_compact_lift_matches_dense():
+    bc = tiny_config().backbone
+    mats = {k: jnp.asarray(v)
+            for k, v in camera_rig(2, 6, bc.final_dim, seed=3).items()}
+    rng = np.random.RandomState(0)
+    h, w = bc.feat_hw
+    D, C = bc.depth_channels, bc.mid_channels
+    depth = jax.nn.softmax(
+        jnp.asarray(rng.randn(2, 6, h, w, D), jnp.float32), -1)
+    feat = jnp.asarray(rng.randn(2, 6, h, w, C), jnp.float32)
+
+    dense = _lift(dataclasses.replace(bc, lift_block_topk=0),
+                  mats, depth, feat)
+    # blk=4 -> 4x4 grid of 16 blocks on the 16x16 (Y, X) plane; topk=16
+    # selects everything -> bit-exact coverage of the dense result
+    comp = _lift(dataclasses.replace(bc, lift_block=4, lift_block_topk=16),
+                 mats, depth, feat)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(comp),
+                               rtol=1e-5, atol=1e-6)
+
+    # topk larger than the block count must clamp and stay exact
+    comp2 = _lift(dataclasses.replace(bc, lift_block=8, lift_block_topk=448),
+                  mats, depth, feat)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(comp2),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _bda_mat(rot_deg, scale, flip_x, flip_y):
+    a = np.deg2rad(rot_deg)
+    rot = np.array([[np.cos(a), -np.sin(a), 0],
+                    [np.sin(a), np.cos(a), 0], [0, 0, 1]], np.float32)
+    m = rot * scale
+    if flip_x:
+        m = np.diag([-1.0, 1.0, 1.0]).astype(np.float32) @ m
+    if flip_y:
+        m = np.diag([1.0, -1.0, 1.0]).astype(np.float32) @ m
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = m
+    return out
+
+
+def test_flagship_block_coverage_margin():
+    """Worst-case live 8x8 blocks per camera stays well under K=448."""
+    bc = flagship_config().backbone
+    assert bc.lift_block == 8 and bc.lift_block_topk == 448
+    Z, Y, X = bc.grid_zyx('seg')
+    vox = jnp.asarray(G.make_voxel_coords(bc.x_bound_seg, bc.y_bound_seg,
+                                          bc.z_bound_seg))
+    rig = camera_rig(1, 6, bc.final_dim, seed=0)
+    fH, fW = bc.final_dim
+
+    @jax.jit
+    def live_blocks(bda):
+        pix = G.get_pixel(vox, jnp.asarray(rig['sensor2ego']),
+                          jnp.asarray(rig['intrin']),
+                          jnp.asarray(rig['ida']), bda)
+        x, y, z = pix[..., 0], pix[..., 1], pix[..., 2]
+        valid = ((x > -0.5) & (x < fW - 0.5) & (y > -0.5) & (y < fH - 0.5)
+                 & (z > bc.d_bound[0]) & (z < bc.d_bound[1]))
+        v = valid.reshape(1, 6, Z, Y // 8, 8, X // 8, 8)
+        counts = jnp.sum(v, axis=(2, 4, 6))              # (1, 6, GY, GX)
+        return jnp.max(jnp.sum(counts > 0, axis=(2, 3)))
+
+    rng = np.random.RandomState(7)
+    worst = 0
+    # reference bda_aug_conf ranges: rot +-22.5deg, scale 0.95-1.05, flips
+    draws = [(0.0, 1.0, False, False), (22.5, 1.05, True, True),
+             (-22.5, 0.95, False, True)]
+    draws += [(rng.uniform(-22.5, 22.5), rng.uniform(0.95, 1.05),
+               bool(rng.randint(2)), bool(rng.randint(2))) for _ in range(5)]
+    for rot, sc, fx, fy in draws:
+        bda = jnp.asarray(_bda_mat(rot, sc, fx, fy))[None]
+        worst = max(worst, int(live_blocks(bda)))
+    # >=10% headroom below the configured top-k
+    assert worst <= int(bc.lift_block_topk * 0.9), worst

@@ -219,8 +219,17 @@ class FieldBackbone(nn.Module):
             denom = jnp.sum((jnp.abs(v) > 0).astype(jnp.float32), axis=1)
             return numer / (denom + 1e-6)
 
-        # loop mode: accumulate over cameras so only one voxel volume is live;
-        # jax.checkpoint rematerializes the gathers in backward
+        Z, Y, X = c.grid_zyx('seg')
+        C = feat.shape[-1]
+        BLK = c.lift_block
+        K = c.lift_block_topk
+        if K and Y % BLK == 0 and X % BLK == 0:
+            return self._lift_compact(depth, feat, coords, valid,
+                                      (Z, Y, X), BLK, min(K, (Y // BLK)
+                                                          * (X // BLK)))
+
+        # dense loop mode: accumulate over cameras so only one voxel volume
+        # is live; jax.checkpoint rematerializes the gathers in backward
         def lift_one(n, acc):
             numer, denom = acc
             v = sample_cam(None if depth is None else depth[:, n],
@@ -228,8 +237,6 @@ class FieldBackbone(nn.Module):
             m = (jnp.abs(v) > 0).astype(jnp.float32)
             return numer + v, denom + m
 
-        Z, Y, X = c.grid_zyx('seg')
-        C = feat.shape[-1]
         numer = jnp.zeros((B, Z, Y, X, C), jnp.float32)
         denom = jnp.zeros((B, Z, Y, X, C), jnp.float32)
         step = (jax.checkpoint(lift_one, static_argnums=0) if self.lift_remat
@@ -237,6 +244,74 @@ class FieldBackbone(nn.Module):
         for n in range(N):  # static unroll over the camera axis
             numer, denom = step(n, (numer, denom))
         return numer / (denom + 1e-6)
+
+    def _lift_compact(self, depth, feat, coords, valid, zyx, blk, topk):
+        """Block-compacted lift: gather only visible voxel blocks per camera.
+
+        A camera's frustum covers <~35% of the (Y, X) ego grid, but the dense
+        lift gathers all Z*Y*X queries per camera and masks afterwards — and
+        the gather is ROW-LATENCY-bound on TPU (measured ~75-165M rows/s), so
+        invalid rows cost as much as valid ones. Here the (Y, X) plane is
+        tiled into blk x blk blocks, each camera selects its `topk` blocks by
+        valid-query count (lax.top_k on the block-level mask counts), samples
+        only those, and scatter-adds into block-major numerator/denominator
+        accumulators. Exact (not approximate) whenever every block containing
+        a valid query is selected — see BackboneConfig.lift_block_topk.
+
+        Semantics otherwise identical to the dense masked-mean lift
+        (base_vampire2.py:483-516).
+        """
+        c = self.cfg
+        Z, Y, X = zyx
+        B, N = feat.shape[:2]
+        C = feat.shape[-1]
+        GY, GX = Y // blk, X // blk
+        G, Q = GY * GX, Z * blk * blk
+
+        def block_major(x, tail):
+            x = x.reshape((B, N, Z, GY, blk, GX, blk) + tail)
+            x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6)
+                              + tuple(range(7, 7 + len(tail))))
+            return x.reshape((B, N, G, Q) + tail)
+
+        coords_bm = block_major(coords, (3,))
+        valid_bm = block_major(valid, ())
+        counts = jnp.sum(valid_bm, axis=-1)                      # (B, N, G)
+
+        def lift_one(n, acc):
+            numer, denom = acc
+            _, ids = jax.lax.top_k(counts[:, n], topk)           # (B, K)
+            cc = jnp.take_along_axis(coords_bm[:, n],
+                                     ids[:, :, None, None], axis=1)
+            vv = jnp.take_along_axis(valid_bm[:, n],
+                                     ids[:, :, None], axis=1)    # (B, K, Q)
+            flat_cc = cc.reshape(B, topk * Q, 3)
+            if c.variant == 'bilinear':
+                vol = feat[:, n][:, None]
+                v = S.batched_grid_sample_3d_fused(vol, flat_cc,
+                                                   align_corners=False,
+                                                   padding_mode='zeros')
+            else:
+                dvol = jnp.moveaxis(depth[:, n], -1, 1)
+                v = jax.vmap(lambda d, f, c3: S.sample_outer_product_fused(
+                    d, f, c3, align_corners=False))(dvol, feat[:, n],
+                                                    flat_cc)
+            v = v.reshape(B, topk, Q, C) * vv[..., None]
+            m = (jnp.abs(v) > 0).astype(jnp.float32)
+            numer = jax.vmap(lambda a, i, x: a.at[i].add(x))(numer, ids, v)
+            denom = jax.vmap(lambda a, i, x: a.at[i].add(x))(denom, ids, m)
+            return numer, denom
+
+        numer = jnp.zeros((B, G, Q, C), jnp.float32)
+        denom = jnp.zeros((B, G, Q, C), jnp.float32)
+        step = (jax.checkpoint(lift_one, static_argnums=0) if self.lift_remat
+                else lift_one)
+        for n in range(N):
+            numer, denom = step(n, (numer, denom))
+        out = numer / (denom + 1e-6)
+        out = out.reshape(B, GY, GX, Z, blk, blk, C)
+        out = jnp.transpose(out, (0, 3, 1, 4, 2, 5, 6))
+        return out.reshape(B, Z, Y, X, C)
 
     def _query_points(self, fused_vol, tables, points):
         """Padded point queries (base_vampire2.py:576-596).
