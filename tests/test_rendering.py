@@ -152,3 +152,121 @@ def test_sample_and_composite_rays_matches_unfused():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(depth.reshape(1, N, h, w), want_depth,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_compact_rays_match_dense():
+    """Length-sorted compacted sampler == dense fused sampler.
+
+    Three regimes: (a) full caps (every pass covers all rays) on arbitrary
+    masks; (b) reduced caps on prefix-style masks they cover — the fog tail
+    must reproduce the dense zeros-padding density(0) contribution exactly;
+    (c) laplace density (nonzero fog) instead of sigmoid.
+    """
+    from vampire_tpu.core import sampling as S
+    rng = np.random.RandomState(11)
+    Z, Y, X, K = 5, 8, 8, 4
+    C = 1 + K + 3
+    Rays, Sn = 300, 16
+    vol = rng.randn(Z, Y, X, C).astype(np.float32)
+    table = S.build_neighborhood_table(jnp.asarray(vol))
+    coords = jnp.asarray(rng.uniform(-1.4, 1.4, (Rays, Sn, 3))
+                         .astype(np.float32))
+    from vampire_tpu.core import geometry as G
+    valid_geom = G.inrange_mask(coords).astype(jnp.float32)
+    delta = jnp.asarray(rng.uniform(0.3, 1.2, (Rays, Sn)).astype(np.float32))
+    mids = jnp.linspace(2.0, 70.4, Sn)
+
+    # prefix-style validity: random per-ray length, in-range before, far
+    # out-of-range after (mirrors the frustum leaving the field box)
+    L = rng.randint(0, Sn + 1, Rays)
+    prefix_coords = np.asarray(coords).copy()
+    for r in range(Rays):
+        prefix_coords[r, L[r]:, :] = 1.9  # out of range -> valid 0
+        prefix_coords[r, :L[r], :] = np.clip(prefix_coords[r, :L[r], :],
+                                             -0.95, 0.95)
+    prefix_coords = jnp.asarray(prefix_coords)
+    prefix_valid = G.inrange_mask(prefix_coords).astype(jnp.float32)
+
+    for name, dens_fn in (('sigmoid', lambda x: jax.nn.sigmoid(x)),
+                          ('laplace', lambda x: R.laplace_density(x, 0.2,
+                                                                  -1.0))):
+        for cc, vv, fracs in (
+                (coords, valid_geom, (1.0, 1.0)),        # (a) full caps
+                (prefix_coords, prefix_valid, (1.0, 1.0)),
+                (prefix_coords, prefix_valid, (1.0, 0.6)),  # (b) real caps
+        ):
+            want = R.sample_and_composite_rays(
+                table, (Z, Y, X), K, cc, vv, delta, mids, dens_fn, 70.4,
+                chunk_rays=64)
+            got = R.sample_and_composite_rays_compact(
+                table, (Z, Y, X), K, cc, vv, delta, mids, dens_fn, 70.4,
+                chunk=8, pass_fracs=fracs)
+            for a, b in zip(want, got):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-5,
+                                           err_msg=f'{name} fracs={fracs}')
+
+
+FLAGSHIP_RAY_PASS_FRACS = (
+    1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
+
+
+def test_flagship_ray_pass_coverage_margin():
+    """Per-pass sorted-ray capacities cover the worst-case length curve of
+    the flagship frustum geometry across camera rigs and the full reference
+    bda augmentation range, with margin.
+
+    Validates the measured curve documented at BackboneConfig.ray_pass_fracs
+    (default off for inference — see configs.py for the measured tradeoff)."""
+    from vampire_tpu.configs import flagship_config
+    from vampire_tpu.core import geometry as G
+    from vampire_tpu.data.synthetic import camera_rig
+    cfg = flagship_config()
+    c = cfg.backbone
+    frustum = jnp.asarray(G.make_frustum(c.final_dim, c.downsample_factor,
+                                         c.d_bound))
+    Sn = frustum.shape[0] - 1
+    n_pass = -(-Sn // c.ray_chunk)
+    ray_pass_fracs = FLAGSHIP_RAY_PASS_FRACS
+    assert len(ray_pass_fracs) == n_pass
+
+    def bda_mat(rot_deg, scale, fx, fy):
+        a = np.deg2rad(rot_deg)
+        m = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+                      [0, 0, 1]], np.float32) * scale
+        if fx:
+            m = np.diag([-1.0, 1.0, 1.0]).astype(np.float32) @ m
+        if fy:
+            m = np.diag([1.0, -1.0, 1.0]).astype(np.float32) @ m
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = m
+        return out
+
+    rng = np.random.RandomState(3)
+    draws = [(0, 1.0, 0, 0), (22.5, 1.05, 1, 1), (-22.5, 1.05, 1, 0),
+             (22.5, 0.95, 0, 1), (-22.5, 0.95, 0, 0)]
+    draws += [(rng.uniform(-22.5, 22.5), rng.uniform(0.95, 1.05),
+               rng.randint(2), rng.randint(2)) for _ in range(4)]
+    xb, yb, zb = c.x_bound_seg, c.y_bound_seg, c.z_bound_seg
+    worst = np.zeros(n_pass)
+    for seed in (0, 1, 2):
+        rig = camera_rig(1, 6, c.final_dim, seed=seed)
+        for rot, sc, fx, fy in draws:
+            bda = jnp.asarray(bda_mat(rot, sc, fx, fy))[None]
+            geom = np.asarray(G.get_geometry(
+                frustum, jnp.asarray(rig['sensor2ego']),
+                jnp.asarray(rig['intrin']), jnp.asarray(rig['ida']),
+                bda))[0][:, :-1]
+            nx = (geom[..., 0] - xb[0]) / (xb[1] - xb[0]) * 2 - 1
+            ny = (geom[..., 1] - yb[0]) / (yb[1] - yb[0]) * 2 - 1
+            nz = (geom[..., 2] - zb[0]) / (zb[1] - zb[0]) * 2 - 1
+            v = ((np.abs(nx) <= 1) & (np.abs(ny) <= 1) & (np.abs(nz) <= 1))
+            v = v.transpose(0, 2, 3, 1).reshape(-1, Sn)
+            any_v = v.any(1)
+            L = np.where(any_v, Sn - v[:, ::-1].argmax(1), 0)
+            fr = np.array([(L > c.ray_chunk * j).mean()
+                           for j in range(n_pass)])
+            worst = np.maximum(worst, fr)
+    # every pass capacity exceeds the worst observed demand by >=5%
+    for j, f in enumerate(ray_pass_fracs):
+        assert min(1.0, worst[j] * 1.05) <= f + 1e-9, (j, worst[j], f)

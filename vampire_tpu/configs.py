@@ -98,6 +98,26 @@ class BackboneConfig:
     # if out of view. 0 disables (dense gather over the full grid).
     lift_block: int = 8
     lift_block_topk: int = 448
+    # Length-sorted ray compaction: rays exit the convex field once and never
+    # re-enter, so the gather-worthy samples of every ray are a prefix
+    # [0, L). Rays are sorted by L descending and the sample axis is
+    # processed in `ray_chunk`-sized passes, pass j touching only the first
+    # ceil(ray_pass_fracs[j] * rays) sorted rays; samples beyond L sample
+    # masked zeros, whose compositing contribution (the density(0) "fog" of
+    # zeros-padding, identical in the reference) is added in closed
+    # elementwise form, so the result is exact whenever the per-pass
+    # capacities cover every ray with L > j*chunk. A measured worst-case
+    # coverage curve over camera rigs and the full bda range +15% margin is
+    # (1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04) for
+    # ray_chunk=8 (tests/test_rendering.py pins the margin), cutting gather
+    # rows to 0.62x — but measured single-chip INFERENCE fps REGRESSED
+    # (4.71 vs 5.46): the sort/unsort reorders of the ray-major tensors and
+    # the 11 serialized passes cost more than the saved row-latency-bound
+    # gather work. Default empty (dense sampling of all rays x samples);
+    # kept as a tested option for training, where backward scatter rows
+    # scale with gathered rows.
+    ray_chunk: int = 8
+    ray_pass_fracs: Tuple[float, ...] = ()
 
     @property
     def img_out_channels(self) -> int:

@@ -182,6 +182,133 @@ def sample_and_composite_rays(table: jnp.ndarray,
     return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
 
 
+def sample_and_composite_rays_compact(table: jnp.ndarray,
+                                      vol_shape: Tuple[int, int, int],
+                                      num_classes: int,
+                                      coords: jnp.ndarray,
+                                      valid: jnp.ndarray,
+                                      deltas: jnp.ndarray,
+                                      camera_mids: jnp.ndarray,
+                                      density_fn,
+                                      bg_depth: float,
+                                      chunk: int,
+                                      pass_fracs: Tuple[float, ...]
+                                      ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                 jnp.ndarray]:
+    """Length-sorted compacted version of `sample_and_composite_rays`.
+
+    Rays traverse the convex field box once: each ray's in-range samples are
+    a prefix [0, L) of the sample axis (the frustum starts at d_bound[0],
+    inside the box). Out-of-range samples still contribute to compositing —
+    zeros-padding makes the sampled field 0 there, and density_fn(0) is a
+    nonzero constant "fog" (exactly as in the reference's grid_sample +
+    Laplace density, base_vampire2.py:419-434) — but that contribution is
+    value-free (rgb = seg = 0) and needs NO gather: it is closed-form
+    elementwise math in (d0, delta).
+
+    So: sort rays by L descending; process the sample axis in `chunk`-sized
+    passes where pass j only touches the first K_j = ceil(pass_fracs[j] *
+    rays) sorted rays (static shapes); carry per-ray accumulated optical
+    depth across passes so transmittance continues exactly; then add the
+    analytic fog term for every (ray, sample) the passes did not touch, and
+    unsort. Exact (fp reassociation aside) whenever K_j covers every ray
+    with L > j*chunk — pass_fracs carry a measured worst-case margin
+    (tests/test_rendering.py).
+
+    Args/returns: as `sample_and_composite_rays`, plus `chunk`/`pass_fracs`
+    (BackboneConfig.ray_chunk / ray_pass_fracs).
+    """
+    from . import sampling as S
+    import numpy as np
+    D, H, W = vol_shape
+    K = num_classes
+    C = 1 + K + 3
+    flat = table.reshape(table.shape[0], -1)
+    R, S_n = coords.shape[:2]
+    n_pass = -(-S_n // chunk)
+    assert len(pass_fracs) == n_pass, (len(pass_fracs), n_pass)
+    mids = camera_mids.astype(jnp.float32)
+    val = valid.astype(jnp.float32)
+    dl_all = deltas.astype(jnp.float32)
+    d0 = density_fn(jnp.zeros((), jnp.float32))
+
+    has = jnp.any(val > 0, axis=1)
+    L = jnp.where(has, S_n - jnp.argmax(val[:, ::-1] > 0, axis=1), 0)
+    order = jnp.argsort(-L)
+    coords_s = jnp.take(coords, order, axis=0)
+    val_s = jnp.take(val, order, axis=0)
+    dl_s = jnp.take(dl_all, order, axis=0)
+
+    caps = [min(R, int(np.ceil(f * R / 256.0) * 256)) for f in pass_fracs]
+    # non-increasing caps: the fog term assumes every ray's processed
+    # samples are a contiguous prefix of the sample axis
+    for j in range(n_pass - 2, -1, -1):
+        caps[j] = max(caps[j], caps[j + 1])
+
+    # accumulators (sorted ray order): rgb(3) | seg(K) | depth_w | acc_w | sd
+    acc = jnp.zeros((R, C + 2), jnp.float32)
+
+    def one_pass(cc, vl, dl, sd_in, m_sl):
+        """Gather + composite chunk samples given carried optical depth."""
+        kj, sc = vl.shape
+        c2 = cc.reshape(-1, 3)
+        bx, ax = S._axis_window_weights(c2[:, 0], W, True, False)
+        by, ay = S._axis_window_weights(c2[:, 1], H, True, False)
+        bz, az = S._axis_window_weights(c2[:, 2], D, True, False)
+        rows = (bz * (H + 1) + by) * (W + 1) + bx
+        w8 = (az[:, :, None, None] * ay[:, None, :, None]
+              * ax[:, None, None, :]).reshape(-1, 8)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
+        samp = samp.reshape(kj, sc, C) * vl[..., None]
+        sdf = samp[..., 0]
+        density = density_fn(sdf)
+        sd = density * dl
+        local = jnp.cumsum(sd, axis=-1) - sd
+        trans = jnp.exp(-(sd_in[:, None] + local))
+        w = (1.0 - jnp.exp(-sd)) * trans                        # (kj, sc)
+        rgb_o = jnp.sum(w[..., None] * samp[..., K + 1:K + 4], axis=1)
+        seg_o = jnp.sum(w[..., None] * samp[..., 1:K + 1], axis=1)
+        depth_o = jnp.sum(w * m_sl[None, :], axis=1)
+        w_o = jnp.sum(w, axis=1)
+        sd_o = jnp.sum(sd, axis=1)
+        return jnp.concatenate(
+            [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
+            axis=-1)
+
+    one_pass = jax.checkpoint(one_pass)
+    for j, kj in enumerate(caps):
+        s0 = j * chunk
+        s1 = min(S_n, s0 + chunk)
+        upd = one_pass(coords_s[:kj, s0:s1], val_s[:kj, s0:s1],
+                       dl_s[:kj, s0:s1], acc[:kj, C + 1], mids[s0:s1])
+        acc = acc.at[:kj].add(upd)
+
+    # analytic fog for all (ray, s) the passes did not touch: sorted ray at
+    # position p was processed for s < processed[p] = sum of chunks with
+    # k_j > p; beyond that the sampled field is 0 -> density d0.
+    pos = jnp.arange(R)
+    processed = sum(
+        jnp.where(pos < kj, min(S_n, (j + 1) * chunk) - j * chunk, 0)
+        for j, kj in enumerate(caps))
+    s_idx = jnp.arange(S_n)[None, :]
+    fog_m = (s_idx >= processed[:, None]).astype(jnp.float32)
+    sd_f = d0 * dl_s * fog_m
+    local = jnp.cumsum(sd_f, axis=-1) - sd_f
+    trans = jnp.exp(-(acc[:, C + 1][:, None] + local))
+    wf = (1.0 - jnp.exp(-sd_f)) * trans * fog_m
+    depth_f = jnp.sum(wf * mids[None, :], axis=1)
+    w_f = jnp.sum(wf, axis=1)
+
+    # accumulator layout: rgb [0:3] | seg [3:3+K] | depth K+3 | w K+4 | sd K+5
+    acc_w = acc[:, K + 4] + w_f
+    depth = acc[:, K + 3] + depth_f + (1.0 - acc_w) * bg_depth
+    out = jnp.concatenate([acc[:, :K + 3], depth[:, None]], axis=-1)
+    inv = jnp.argsort(order)
+    out = jnp.take(out, inv, axis=0)
+    return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
+
+
 def render_bev_columns(density: jnp.ndarray,
                        seg_logits: jnp.ndarray,
                        rgb: jnp.ndarray,

@@ -392,10 +392,18 @@ class FieldBackbone(nn.Module):
         valid_r = ray_major(valid, ())
         delta_r = ray_major(delta, ())
         Zs, Ys, Xs = c.grid_zyx('seg')
-        # fused gather + per-ray compositing: the (rays, S, 22) sampled field
-        # lives only in VMEM chunks (rendering.sample_and_composite_rays)
+        # fused gather + per-ray compositing; with ray_pass_fracs configured,
+        # rays are length-sorted and only in-field samples are gathered (the
+        # out-of-field "fog" tail is closed-form elementwise)
+        n_pass = -(-Snum // c.ray_chunk)
+        if c.ray_pass_fracs and len(c.ray_pass_fracs) == n_pass:
+            sampler = functools.partial(
+                R.sample_and_composite_rays_compact, chunk=c.ray_chunk,
+                pass_fracs=c.ray_pass_fracs)
+        else:
+            sampler = R.sample_and_composite_rays
         rgb_p, seg_p, depth_p = jax.vmap(
-            lambda t, cc, vv, dd: R.sample_and_composite_rays(
+            lambda t, cc, vv, dd: sampler(
                 t, (Zs, Ys, Xs), K, cc, vv, dd, self.camera_mids,
                 self._density, c.d_bound[1]))(tables, coords_r, valid_r,
                                               delta_r)
