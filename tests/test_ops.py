@@ -200,3 +200,32 @@ def test_rasterizers_cpp_vs_numpy():
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(h1, h2)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_rotated_nms_cpp_vs_numpy():
+    """C++ rotated NMS == independent numpy polygon-clipping fallback, and
+    analytic axis-aligned IoU sanity (reference nms_type='rotate' branch,
+    bev_depth_head.py:473-475)."""
+    rng = np.random.RandomState(8)
+    boxes = np.concatenate([
+        rng.uniform(-30, 30, (120, 2)), rng.uniform(1, 6, (120, 2)),
+        rng.uniform(-np.pi, np.pi, (120, 1))], axis=1).astype(np.float32)
+    scores = rng.rand(120).astype(np.float32)
+    got = N.rotated_nms(boxes, scores, thresh=0.2, post_max_size=83)
+    lib = N._lib
+    N._lib, N._build_failed = None, True
+    want = N.rotated_nms(boxes, scores, thresh=0.2, post_max_size=83)
+    N._lib, N._build_failed = lib, False
+    np.testing.assert_array_equal(got, want)
+
+    # analytic: two axis-aligned unit squares with 0.5 x-overlap ->
+    # IoU = 0.5 / 1.5 = 1/3; kept together iff thresh >= 1/3
+    b = np.array([[0, 0, 1, 1, 0], [0.5, 0, 1, 1, 0]], np.float32)
+    s = np.array([0.9, 0.8], np.float32)
+    assert len(N.rotated_nms(b, s, thresh=0.30)) == 1
+    assert len(N.rotated_nms(b, s, thresh=0.34)) == 2
+    # 45-degree rotated square fully inside a bigger one -> suppressed
+    b2 = np.array([[0, 0, 4, 4, 0], [0, 0, 1, 1, np.pi / 4]], np.float32)
+    # IoU = 1/16 < thresh keeps both; containment check via high thresh
+    assert len(N.rotated_nms(b2, s, thresh=0.05)) == 1
+    assert len(N.rotated_nms(b2, s, thresh=0.07)) == 2

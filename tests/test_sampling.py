@@ -161,3 +161,31 @@ def test_sample_outer_product_fused_matches():
                                                   jnp.asarray(coords), False,
                                                   chunk=128))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sorted_segment_rows_matches_scatter_add():
+    """sorted_segment_rows (scatter-free transpose-of-gather) == scatter-add,
+    including rows with no queries, duplicate-heavy rows, and the chunked
+    (carried-cumsum) variant."""
+    rng = np.random.RandomState(7)
+    P, R, C = 4096, 300, 11
+    rows = rng.randint(0, R, P).astype(np.int32)
+    rows[:50] = 42          # heavy duplication on one row
+    payload = rng.randn(P, C).astype(np.float32)
+    want = np.zeros((R, C), np.float32)
+    np.add.at(want, rows, payload)
+    for nc in (1, 4, 8):
+        got = np.asarray(S.sorted_segment_rows(jnp.asarray(rows),
+                                               jnp.asarray(payload), R,
+                                               num_chunks=nc))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=f'num_chunks={nc}')
+    # single-row edge case: everything lands on row 0
+    rows0 = np.zeros(64, np.int32)
+    pay0 = rng.randn(64, 3).astype(np.float32)
+    got0 = np.asarray(S.sorted_segment_rows(jnp.asarray(rows0),
+                                            jnp.asarray(pay0), 5,
+                                            num_chunks=4))
+    want0 = np.zeros((5, 3), np.float32)
+    want0[0] = pay0.sum(0)
+    np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=1e-4)

@@ -168,7 +168,7 @@ def apply_circle_nms(decoded_tasks: List[dict], cfg, batch_index: int
 
     Returns (boxes (M, 9), scores (M,), labels (M,)) numpy arrays.
     """
-    from ..ops.nms import circle_nms, size_aware_circle_nms
+    from ..ops.nms import circle_nms, rotated_nms, size_aware_circle_nms
     all_boxes, all_scores, all_labels = [], [], []
     flag = 0
     for t, task in enumerate(decoded_tasks):
@@ -181,6 +181,12 @@ def apply_circle_nms(decoded_tasks: List[dict], cfg, batch_index: int
             dets = np.concatenate([boxes[:, :2], scores[:, None]], axis=1)
             keep = circle_nms(dets, float(cfg.nms_min_radius[t]),
                               post_max_size=cfg.nms_post_max_size)
+        elif cfg.nms_type == 'rotate':
+            # rotated-BEV-IoU NMS (bev_depth_head.py:473-475 via mmdet3d
+            # CenterHead.get_task_detections / nms_gpu)
+            keep = rotated_nms(boxes[:, [0, 1, 3, 4, 6]], scores,
+                               float(cfg.nms_thr),
+                               post_max_size=cfg.nms_post_max_size)
         else:
             dets = np.concatenate([boxes[:, [0, 1, 3, 4, 6]],
                                    scores[:, None]], axis=1)

@@ -42,6 +42,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.size_aware_circle_nms.argtypes = [f32p, ctypes.c_int,
                                                   ctypes.c_float,
                                                   ctypes.c_int, i32p]
+            lib.rotated_nms.restype = ctypes.c_int
+            lib.rotated_nms.argtypes = [f32p, f32p, ctypes.c_int,
+                                        ctypes.c_float, ctypes.c_int, i32p]
             lib.rasterize_depth.restype = None
             lib.rasterize_depth.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                             ctypes.c_int, f32p, f32p]
@@ -128,6 +131,87 @@ def size_aware_circle_nms(dets: np.ndarray, thresh_scale: float,
                     + abs(dy[i] * np.cos(yaw[i])) + abs(dy[j] * np.cos(yaw[j])))
             if dist_x <= th_x * thresh_scale / 2 and \
                dist_y <= th_y * thresh_scale / 2:
+                suppressed[j] = True
+    return np.asarray(keep[:post_max_size], np.int64)
+
+
+def _rect_corners_np(boxes: np.ndarray) -> np.ndarray:
+    """(N, 5) [cx, cy, w, h, yaw] -> (N, 4, 2) CCW corners."""
+    c, s = np.cos(boxes[:, 4]), np.sin(boxes[:, 4])
+    hw, hh = boxes[:, 2] / 2, boxes[:, 3] / 2
+    dx = np.stack([-hw, hw, hw, -hw], 1)
+    dy = np.stack([-hh, -hh, hh, hh], 1)
+    x = boxes[:, 0:1] + dx * c[:, None] - dy * s[:, None]
+    y = boxes[:, 1:2] + dx * s[:, None] + dy * c[:, None]
+    return np.stack([x, y], -1)
+
+
+def _rect_iou_np(b1: np.ndarray, b2: np.ndarray) -> float:
+    """Rotated-rectangle IoU via Sutherland-Hodgman clipping (float64)."""
+    poly = [tuple(p) for p in _rect_corners_np(b1[None])[0]]
+    clipper = _rect_corners_np(b2[None])[0]
+    for e in range(4):
+        ax, ay = clipper[e]
+        bx, by = clipper[(e + 1) % 4]
+        out = []
+        for i in range(len(poly)):
+            cx, cy = poly[i]
+            nx, ny = poly[(i + 1) % len(poly)]
+            dc = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            dn = (bx - ax) * (ny - ay) - (by - ay) * (nx - ax)
+            if dc >= 0:
+                out.append((cx, cy))
+            if (dc >= 0) != (dn >= 0):
+                t = dc / (dc - dn)
+                out.append((cx + t * (nx - cx), cy + t * (ny - cy)))
+        poly = out
+        if not poly:
+            break
+    inter = 0.0
+    for i in range(len(poly)):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % len(poly)]
+        inter += x0 * y1 - x1 * y0
+    inter = abs(inter) / 2
+    union = float(b1[2]) * b1[3] + float(b2[2]) * b2[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def rotated_nms(boxes: np.ndarray, scores: np.ndarray, thresh: float,
+                post_max_size: int = 83) -> np.ndarray:
+    """Greedy rotated-BEV-IoU NMS (mmdet3d `nms_gpu` semantics, the
+    reference's nms_type='rotate' branch, bev_depth_head.py:473-475 —
+    unused by every shipped config; provided for surface completeness).
+
+    boxes: (N, 5) [cx, cy, w, h, yaw]; scores: (N,). Returns kept indices
+    in score-descending order."""
+    boxes = _f32(boxes)
+    scores = _f32(scores)
+    n = boxes.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    lib = _load()
+    if lib is not None:
+        keep = np.zeros((post_max_size,), np.int32)
+        cnt = lib.rotated_nms(
+            boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, float(thresh), post_max_size,
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+        return keep[:cnt].astype(np.int64)
+    order = np.argsort(-scores, kind='stable')
+    suppressed = np.zeros(n, bool)
+    keep = []
+    for oi in range(n):
+        i = order[oi]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        if len(keep) >= post_max_size:
+            break
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if not suppressed[j] and _rect_iou_np(boxes[i], boxes[j]) > thresh:
                 suppressed[j] = True
     return np.asarray(keep[:post_max_size], np.int64)
 
