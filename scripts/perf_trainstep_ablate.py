@@ -31,7 +31,8 @@ def main():
     ap.add_argument('--variants', default='all')
     ap.add_argument('--batch', type=int, default=1)
     args = ap.parse_args()
-    names = ['base', 'sg_rays', 'sg_lift', 'sg_camfeats', 'no_lift_remat']
+    names = ['base', 'sg_rays', 'sg_lift', 'sg_camfeats', 'no_lift_remat',
+             'fwd_only', 'ce_only', 'sg_unet', 'sg_losses_aux']
     variants = names if args.variants == 'all' else args.variants.split(',')
 
     import jax
@@ -117,6 +118,73 @@ def main():
             patches=[(field_mod.FieldBackbone, '_get_cam_feats', sg_cam)])
     if 'no_lift_remat' in variants:
         run('no_lift_remat', lift_remat=False)
+
+    # --- decomposition of the residual: forward-only / lovasz / unet -------
+    if 'fwd_only' in variants:
+        # train-mode forward + losses WITHOUT value_and_grad: separates the
+        # forward half of the step from every transpose
+        from vampire_tpu.training.losses import compute_losses
+        model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
+        mats = split_mats(batch)
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), batch['imgs'], mats,
+            points=batch['points'], train=True))()
+
+        @jax.jit
+        def fwd_loss(v, b):
+            m = split_mats(b)
+            (fo, preds), _ = model.apply(
+                v, b['imgs'], m, points=b['points'], train=True,
+                mutable=['batch_stats'])
+            total, logs = compute_losses(fo, preds, b, cfg.train, cfg.head,
+                                         cfg.backbone.sdf_bias,
+                                         cfg.backbone.density_mode, 1)
+            return total
+        t0 = time.perf_counter()
+        _ = float(fwd_loss(variables, batch))
+        print(f'[fwd_only] compile {time.perf_counter() - t0:.0f}s',
+              flush=True)
+        ts = []
+        for i in range(4):
+            b = dict(batch)
+            b['imgs'] = batch['imgs'] + 0.001 * (i + 1)
+            t0 = time.perf_counter()
+            _ = float(fwd_loss(variables, b))
+            ts.append(time.perf_counter() - t0)
+        results['fwd_only'] = min(ts)
+        print(f'[fwd_only] {min(ts) * 1000:.0f} ms', flush=True)
+
+    from vampire_tpu.training import losses as losses_mod
+    from vampire_tpu.ops.lovasz import masked_cross_entropy
+
+    if 'ce_only' in variants:
+        run('ce_only',
+            patches=[(losses_mod, 'ce_lovasz',
+                      lambda lg, lb, v=None: masked_cross_entropy(lg, lb, v))])
+
+    from vampire_tpu.models.unet3d import Unet3D
+    orig_unet_call = Unet3D.__call__
+
+    def sg_unet_call(self, x):
+        return jax.lax.stop_gradient(orig_unet_call(self, x))
+
+    if 'sg_unet' in variants:
+        run('sg_unet', patches=[(Unet3D, '__call__', sg_unet_call)])
+
+    if 'sg_losses_aux' in variants:
+        # stop gradients of every non-det loss term EXCEPT through the det
+        # path: attribution of the aux-loss transposes as a group.
+        # train_step.py binds `compute_losses` at import time, so patch the
+        # train_step module's name.
+        from vampire_tpu.training import train_step as train_step_mod
+        orig_cl = losses_mod.compute_losses
+
+        def sg_compute(fo, preds, b, tc, hc, sb, dm, nd):
+            fo = {k: (jax.lax.stop_gradient(v) if v is not None else None)
+                  for k, v in fo.items()}
+            return orig_cl(fo, preds, b, tc, hc, sb, dm, nd)
+        run('sg_losses_aux',
+            patches=[(train_step_mod, 'compute_losses', sg_compute)])
 
     print('\n=== train-step backward attribution (ms) ===', flush=True)
     for k, v in results.items():

@@ -229,3 +229,32 @@ def test_rotated_nms_cpp_vs_numpy():
     # IoU = 1/16 < thresh keeps both; containment check via high thresh
     assert len(N.rotated_nms(b2, s, thresh=0.05)) == 1
     assert len(N.rotated_nms(b2, s, thresh=0.07)) == 2
+
+
+def test_ce_lovasz_compact_exact():
+    """ce_lovasz_compact == dense ce_lovasz for sparse masks (under cap),
+    at the cap boundary, and OVER cap (lax.cond dense fallback)."""
+    from vampire_tpu.ops.lovasz import ce_lovasz, ce_lovasz_compact
+    rng = np.random.RandomState(9)
+    P, C = 2048, 7
+    logits = jnp.asarray(rng.randn(P, C).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, C, P))
+    for frac, cap in ((0.02, 256), (0.12, 256), (0.5, 256), (1.0, 4096)):
+        valid = jnp.asarray(rng.rand(P) < frac)
+        want = float(ce_lovasz(logits, labels, valid))
+        got = float(jax.jit(
+            lambda lg, lb, v: ce_lovasz_compact(lg, lb, v, cap))(
+                logits, labels, valid))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'frac={frac} cap={cap}')
+    # exactly-at-cap boundary
+    valid = jnp.asarray(np.arange(P) < 256)
+    want = float(ce_lovasz(logits, labels, valid))
+    got = float(ce_lovasz_compact(logits, labels, valid, 256))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # gradients flow identically through the compact path
+    g_dense = jax.grad(lambda lg: ce_lovasz(lg, labels, valid))(logits)
+    g_comp = jax.grad(
+        lambda lg: ce_lovasz_compact(lg, labels, valid, 256))(logits)
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_dense),
+                               rtol=1e-4, atol=1e-6)

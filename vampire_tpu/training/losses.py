@@ -25,7 +25,7 @@ import numpy as np
 
 from ..configs import TrainConfig, HeadConfig
 from ..models.centerpoint_head import detection_loss
-from ..ops.lovasz import ce_lovasz
+from ..ops.lovasz import ce_lovasz, ce_lovasz_compact
 from ..ops.msssim import ms_ssim
 
 # torchvision normalization stats, = IMG_MEAN/255, IMG_STD/255 (base_exp.py:614-615)
@@ -78,9 +78,16 @@ def compute_losses(field_out: Dict[str, jnp.ndarray],
 
     seg_logits = field_out['seg_logits_preds']
     K = seg_logits.shape[-1]
-    cam_seg_loss = ce_lovasz(seg_logits.reshape(-1, K),
-                             batch['seg_labels'].reshape(-1).astype(jnp.int32),
-                             fg_mask.reshape(-1))
+    B = seg_logits.shape[0]
+    P_pts = batch['points'].shape[1]
+    # valid camera-seg pixels = pixels hit by a projected lidar point: at
+    # most one pixel per (point, camera), and a point is visible in <=2
+    # overlapping cameras in practice -> cap 3*B*P covers it with margin;
+    # ce_lovasz_compact falls back to the dense path if ever exceeded
+    cam_seg_loss = ce_lovasz_compact(
+        seg_logits.reshape(-1, K),
+        batch['seg_labels'].reshape(-1).astype(jnp.int32),
+        fg_mask.reshape(-1), cap=3 * B * P_pts)
     logs['camera_seg_loss'] = cam_seg_loss
 
     if lw[2] != 0.0:
@@ -101,10 +108,11 @@ def compute_losses(field_out: Dict[str, jnp.ndarray],
         smooth_l1(batch['bev_height'], field_out['bev_height_preds']),
         bev_mask)
     logs['bev_height_loss'] = bev_height_loss
-    bev_seg_loss = ce_lovasz(
+    # bev valid cells are rasterized from the point cloud (<= 1 cell/point)
+    bev_seg_loss = ce_lovasz_compact(
         field_out['bev_seg_logits_preds'].reshape(-1, K),
         batch['bev_seg'].reshape(-1).astype(jnp.int32),
-        bev_mask.reshape(-1))
+        bev_mask.reshape(-1), cap=B * P_pts)
     logs['bev_seg_loss'] = bev_seg_loss
 
     # --- lidar point segmentation (base_exp.py:561-569) ---
