@@ -15,6 +15,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=1)
+    ap.add_argument('--ray-fracs', action='store_true',
+                    help='enable the length-sorted compact ray sampler '
+                         '(train-mode) with the measured flagship curve')
     args = ap.parse_args()
 
     import jax
@@ -29,6 +32,12 @@ def main():
     from vampire_tpu.training.train_step import build_train_step, split_mats
 
     cfg = flagship_config()
+    if args.ray_fracs:
+        import dataclasses
+        fr = (1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone,
+                                              ray_pass_fracs=fr))
     model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
     batch = synthetic_batch(cfg, batch_size=args.batch,
                             n_points=cfg.train.max_points, seed=0,

@@ -207,17 +207,11 @@ def test_compact_rays_match_dense():
                                            err_msg=f'{name} fracs={fracs}')
 
 
-FLAGSHIP_RAY_PASS_FRACS = (
-    1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
-
-
 def test_flagship_ray_pass_coverage_margin():
     """Per-pass sorted-ray capacities cover the worst-case length curve of
     the flagship frustum geometry across camera rigs and the full reference
-    bda augmentation range, with margin.
-
-    Validates the measured curve documented at BackboneConfig.ray_pass_fracs
-    (default off for inference — see configs.py for the measured tradeoff)."""
+    bda augmentation range, with margin (the BackboneConfig.ray_pass_fracs
+    default, applied to train-mode forwards)."""
     from vampire_tpu.configs import flagship_config
     from vampire_tpu.core import geometry as G
     from vampire_tpu.data.synthetic import camera_rig
@@ -227,7 +221,7 @@ def test_flagship_ray_pass_coverage_margin():
                                          c.d_bound))
     Sn = frustum.shape[0] - 1
     n_pass = -(-Sn // c.ray_chunk)
-    ray_pass_fracs = FLAGSHIP_RAY_PASS_FRACS
+    ray_pass_fracs = c.ray_pass_fracs
     assert len(ray_pass_fracs) == n_pass
 
     def bda_mat(rot_deg, scale, fx, fy):

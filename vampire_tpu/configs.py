@@ -106,18 +106,21 @@ class BackboneConfig:
     # masked zeros, whose compositing contribution (the density(0) "fog" of
     # zeros-padding, identical in the reference) is added in closed
     # elementwise form, so the result is exact whenever the per-pass
-    # capacities cover every ray with L > j*chunk. A measured worst-case
-    # coverage curve over camera rigs and the full bda range +15% margin is
-    # (1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04) for
-    # ray_chunk=8 (tests/test_rendering.py pins the margin), cutting gather
-    # rows to 0.62x — but measured single-chip INFERENCE fps REGRESSED
-    # (4.71 vs 5.46): the sort/unsort reorders of the ray-major tensors and
-    # the 11 serialized passes cost more than the saved row-latency-bound
-    # gather work. Default empty (dense sampling of all rays x samples);
-    # kept as a tested option for training, where backward scatter rows
-    # scale with gathered rows.
+    # capacities cover every ray with L > j*chunk. The default is the
+    # measured worst-case coverage curve over camera rigs and the full bda
+    # range +15% margin for ray_chunk=8 (tests/test_rendering.py pins the
+    # margin), cutting gather rows to 0.62x.
+    #
+    # Applied in TRAIN-mode forwards only (field._render): the backward
+    # scatter of the gather transpose runs ~4x slower per row than the
+    # gather, so row compaction pays there (measured 1271 -> 1001 ms/step,
+    # loss bit-identical) — while in INFERENCE the sort/unsort reorders and
+    # serialized passes cost more than the saved row-latency-bound gather
+    # (measured 5.46 -> 4.71 fps), so eval keeps the dense sampler. Empty
+    # tuple disables compaction everywhere.
     ray_chunk: int = 8
-    ray_pass_fracs: Tuple[float, ...] = ()
+    ray_pass_fracs: Tuple[float, ...] = (
+        1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
 
     @property
     def img_out_channels(self) -> int:

@@ -368,7 +368,7 @@ class FieldBackbone(nn.Module):
                                                padding_mode='zeros')[..., 0]
         return occ_logits, jnp.tanh(occ_density)
 
-    def _render(self, geom_xyz, fused, tables, base_vol):
+    def _render(self, geom_xyz, fused, tables, base_vol, train=False):
         """Both rendering branches (base_vampire2.py:391-467).
 
         geom_xyz: (B, N, D, fH, fW, 3). fused: (B, Z, Y, X, 1+K+3) fp32
@@ -392,11 +392,18 @@ class FieldBackbone(nn.Module):
         valid_r = ray_major(valid, ())
         delta_r = ray_major(delta, ())
         Zs, Ys, Xs = c.grid_zyx('seg')
-        # fused gather + per-ray compositing; with ray_pass_fracs configured,
+        # fused gather + per-ray compositing; with ray_pass_fracs configured
         # rays are length-sorted and only in-field samples are gathered (the
-        # out-of-field "fog" tail is closed-form elementwise)
+        # out-of-field "fog" tail is closed-form elementwise). Measured: a
+        # LOSS for inference (sort/unsort reorders + serialized passes beat
+        # the gather saving, configs.py), but in TRAINING the backward
+        # scatter rows — ~4x slower per row than gathers — scale with the
+        # gathered rows, so the compaction is applied when ray_pass_fracs
+        # are configured and this is a train-mode forward.
         n_pass = -(-Snum // c.ray_chunk)
-        if c.ray_pass_fracs and len(c.ray_pass_fracs) == n_pass:
+        use_compact = (train and c.ray_pass_fracs
+                       and len(c.ray_pass_fracs) == n_pass)
+        if use_compact:
             sampler = functools.partial(
                 R.sample_and_composite_rays_compact, chunk=c.ray_chunk,
                 pass_fracs=c.ray_pass_fracs)
@@ -491,7 +498,8 @@ class FieldBackbone(nn.Module):
                                   mats['intrin'], mats['ida'],
                                   mats.get('bda'))
         (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height, bev_density,
-         vox_out) = self._render(geom_xyz, fused, tables, base_f32)
+         vox_out) = self._render(geom_xyz, fused, tables, base_f32,
+                                 train=train)
 
         # x4 upsample of the camera renders (base_vampire2.py:616-626)
         up = c.upsample_factor
