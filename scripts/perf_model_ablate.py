@@ -168,16 +168,15 @@ def main():
                      (field_mod.S, 'apply_sample_matrices', zero_apply_mats)],
             points=False)
     if 'no_upsample' in variants:
+        orig_resize = S.resize_linear
+
         def id_resize(x, out_sizes, axes):
-            reps = [1] * x.ndim
-            for ax, o in zip(axes, out_sizes):
-                reps[ax] = o // x.shape[ax] if o % x.shape[ax] == 0 else 1
             y = x
             for ax, o in zip(axes, out_sizes):
-                if o % x.shape[ax] == 0:
-                    y = jnp.repeat(y, o // x.shape[ax], axis=ax)
+                if o % y.shape[ax] == 0:
+                    y = jnp.repeat(y, o // y.shape[ax], axis=ax)
                 else:
-                    y = S.resize_linear(y, (o,), (ax,))
+                    y = orig_resize(y, (o,), (ax,))
             return y
         run('no_upsample', cfg_dense,
             patches=[(field_mod.S, 'resize_linear', id_resize)])

@@ -103,3 +103,11 @@ def test_vectorized_lift_matches_loop():
     for k in ('bev_feature', 'occ_logits', 'depth_preds'):
         np.testing.assert_allclose(np.asarray(fo1[k]), np.asarray(fo2[k]),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_16_devices():
+    """The dp x cam sharding generalizes beyond the 8-device test mesh
+    (scaling study; the subprocess bootstraps its own 16-device CPU jax)."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(16)
