@@ -86,11 +86,29 @@ def main():
         o = conv2d(x2, kbig)
         return jnp.moveaxis(o.reshape(1, Y, X, Z, C), 3, 1)
 
-    fa = jax.jit(lambda xx: jnp.sum(conv3d_native(xx, k3).astype(jnp.float32)))
-    fb = jax.jit(lambda xx: jnp.sum(conv3d_zunroll(xx, k3).astype(jnp.float32)))
+    # chain K convs inside one jit so per-call ~25ms axon fetch overhead is
+    # amortized: reported number is (t_chain / K) per conv
+    K_CHAIN = 16
+
+    def chain(f):
+        def run(xx):
+            y = xx
+            for i in range(K_CHAIN):
+                y = f(y) + 0.001 * xx
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
     kbig = jax.jit(banded_kernel)(k3)
-    fc = jax.jit(lambda xx: jnp.sum(
-        conv3d_zchannels(xx, kbig).astype(jnp.float32)))
+    fa = jax.jit(chain(lambda y: conv3d_native(y, k3)))
+    fb = jax.jit(chain(lambda y: conv3d_zunroll(y, k3)))
+    fc = jax.jit(chain(lambda y: conv3d_zchannels(y, kbig)))
+
+    # backward at the same shapes (grad wrt input + kernel)
+    ga = jax.jit(jax.grad(lambda kk: jnp.sum(chain(
+        lambda y: conv3d_native(y, kk))(x).astype(jnp.float32))))
+    gc = jax.jit(jax.grad(lambda kk: jnp.sum(chain(
+        lambda y: conv3d_zchannels(y, banded_kernel(kk)))(x)
+        .astype(jnp.float32))))
 
     # correctness cross-check first (small tolerance: bf16 compute)
     a = jax.jit(lambda xx: conv3d_native(xx, k3))(x)
@@ -104,7 +122,18 @@ def main():
 
     argsl = [(x + 0.001 * i,) for i in range(3)]
     for name, f in (('native', fa), ('zunroll', fb), ('zchannels', fc)):
-        print(f'[{name}] {timeit(f, argsl) * 1000:.2f} ms', flush=True)
+        t = timeit(f, argsl)
+        print(f'[{name}] {t * 1000 / K_CHAIN:.2f} ms/conv '
+              f'({t * 1000:.1f} ms chain)', flush=True)
+    argsk = [(k3 + 0.001 * i,) for i in range(3)]
+    for name, f in (('native bwd', ga), ('zchannels bwd', gc)):
+        try:
+            t = timeit(f, argsk)
+            print(f'[{name}] {t * 1000 / K_CHAIN:.2f} ms/conv '
+                  f'({t * 1000:.1f} ms chain)', flush=True)
+        except Exception as e:
+            print(f'[{name}] FAILED {type(e).__name__}: {str(e)[:200]}',
+                  flush=True)
 
 
 if __name__ == '__main__':
