@@ -138,6 +138,9 @@ def compute_losses(field_out: Dict[str, jnp.ndarray],
     mask_cam = batch['mask_camera'].reshape(-1)
     occ_logits = field_out['occ_logits'].reshape(-1, K)
     occ_sem = batch['occ_semantics'].reshape(-1).astype(jnp.int32)
+    # occ stays DENSE: camera-visible voxels cover ~30-50% of the grid, and
+    # at that density the compaction's argsort+gather overhead exceeds the
+    # sort reduction (measured 948 -> 988 ms/step with a 0.6 cap)
     occ_seg_loss = ce_lovasz(occ_logits, occ_sem, mask_cam)
     logs['visible_occ_seg_loss'] = occ_seg_loss
     occ_loss = occ_seg_loss
