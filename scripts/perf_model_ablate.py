@@ -37,7 +37,8 @@ def main():
     ap.add_argument('--variants', default='all')
     args = ap.parse_args()
     names = ['base_dense', 'base_compact', 'no_rays', 'no_lift', 'no_unet',
-             'no_camfeats', 'no_queries', 'no_upsample']
+             'no_camfeats', 'no_queries', 'no_upsample', 'no_head',
+             'no_points']
     variants = names if args.variants == 'all' else args.variants.split(',')
 
     import jax
@@ -62,7 +63,7 @@ def main():
 
     results = {}
 
-    def run(name, cfg, patches=(), points=True):
+    def run(name, cfg, patches=(), points=True, lidar_seg=False):
         model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
         saved = [(obj, attr, getattr(obj, attr)) for obj, attr, _ in patches]
         for obj, attr, new in patches:
@@ -76,7 +77,7 @@ def main():
             @jax.jit
             def fwd(v, imgs):
                 fo, preds = model.apply(v, imgs, mats, points=pts,
-                                        train=False)
+                                        train=False, lidar_seg=lidar_seg)
                 outs = [fo['occ_logits'], fo['occ_density'],
                         fo['depth_preds'], fo['bev_seg_logits_preds'],
                         fo['bev_feature']] + list(jax.tree.leaves(preds))
@@ -180,6 +181,10 @@ def main():
             return y
         run('no_upsample', cfg_dense,
             patches=[(field_mod.S, 'resize_linear', id_resize)])
+    if 'no_head' in variants:
+        run('no_head', cfg_dense, lidar_seg=True)
+    if 'no_points' in variants:
+        run('no_points', cfg_dense, points=False)
 
     print('\n=== in-model ablation (ms) ===')
     for k, v in results.items():

@@ -8,7 +8,7 @@ defaults unless noted.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Image / augmentation configuration (base_exp.py:29-38, 93-120)

@@ -12,7 +12,7 @@ VPU-bound elementwise work and costs nothing on TPU.)
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ ida transform (resize to width, bottom crop — nusc_det_seg_dataset.py:472-513)
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional
 
 import numpy as np

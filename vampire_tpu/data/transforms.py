@@ -8,7 +8,7 @@ Re-derives `nusc_det_seg_dataset.py`'s pure functions without torch:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Loss and decode are jit-side; circular NMS runs on the host
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

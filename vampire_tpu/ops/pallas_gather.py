@@ -24,7 +24,6 @@ Mosaic constraints learned (see git history for the debugging):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,8 @@ Batch layout (channels-last, produced by the data pipeline):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

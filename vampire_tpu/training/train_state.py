@@ -12,7 +12,6 @@ decay, matching torch's skip-None-grad behavior.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import flax

@@ -7,8 +7,7 @@ inserted by XLA — no explicit collectives (SURVEY.md §5 distributed notes).
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
