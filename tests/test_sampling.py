@@ -189,3 +189,18 @@ def test_sorted_segment_rows_matches_scatter_add():
     want0 = np.zeros((5, 3), np.float32)
     want0[0] = pay0.sum(0)
     np.testing.assert_allclose(got0, want0, rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_segment_rows_nondivisible_chunks():
+    """P not divisible by num_chunks pads instead of silently falling back
+    to the full-materialization path."""
+    rng = np.random.RandomState(12)
+    P, R, C = 1000, 50, 4          # 1000 % 8 != 0
+    rows = rng.randint(0, R, P).astype(np.int32)
+    payload = rng.randn(P, C).astype(np.float32)
+    want = np.zeros((R, C), np.float32)
+    np.add.at(want, rows, payload)
+    got = np.asarray(S.sorted_segment_rows(jnp.asarray(rows),
+                                           jnp.asarray(payload), R,
+                                           num_chunks=8))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -149,13 +149,8 @@ def sample_and_composite_rays(table: jnp.ndarray,
     @jax.checkpoint
     def one_chunk(args):
         cc, val, dl = args                       # (cr, S, 3), (cr, S), (cr, S)
-        c2 = cc.reshape(-1, 3)
-        bx, ax = S._axis_window_weights(c2[:, 0], W, True, False)
-        by, ay = S._axis_window_weights(c2[:, 1], H, True, False)
-        bz, az = S._axis_window_weights(c2[:, 2], D, True, False)
-        rows = (bz * (H + 1) + by) * (W + 1) + bx
-        w8 = (az[:, :, None, None] * ay[:, None, :, None]
-              * ax[:, None, None, :]).reshape(-1, 8)
+        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
+                                         True, False)
         t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
         samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
         samp = samp.reshape(chunk_rays, S_n, C) * val[..., None]
@@ -251,13 +246,8 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
     def one_pass(cc, vl, dl, sd_in, m_sl):
         """Gather + composite chunk samples given carried optical depth."""
         kj, sc = vl.shape
-        c2 = cc.reshape(-1, 3)
-        bx, ax = S._axis_window_weights(c2[:, 0], W, True, False)
-        by, ay = S._axis_window_weights(c2[:, 1], H, True, False)
-        bz, az = S._axis_window_weights(c2[:, 2], D, True, False)
-        rows = (bz * (H + 1) + by) * (W + 1) + bx
-        w8 = (az[:, :, None, None] * ay[:, None, :, None]
-              * ax[:, None, None, :]).reshape(-1, 8)
+        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
+                                         True, False)
         t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
         samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
         samp = samp.reshape(kj, sc, C) * vl[..., None]

@@ -249,6 +249,26 @@ def _axis_window_weights(coord, size, align_corners, border):
     return b, jnp.stack([a(0), a(1)], axis=-1)
 
 
+def corner_rows_weights(c: jnp.ndarray, vol_shape: Tuple[int, int, int],
+                        align_corners: bool, border: bool
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query corner-table row + trilinear weights.
+
+    The shared contract between build_neighborhood_table and every fused
+    sampler (grid_sample_3d_fused, rendering.sample_and_composite_rays*):
+    c (P, 3) normalized coords -> (rows (P,) int32 into the
+    (D+1)(H+1)(W+1)-row table, w8 (P, 8) corner weights in (z, y, x)
+    minor-to-major corner order, matching the table's row layout)."""
+    D, H, W = vol_shape
+    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, border)
+    by, ay = _axis_window_weights(c[:, 1], H, align_corners, border)
+    bz, az = _axis_window_weights(c[:, 2], D, align_corners, border)
+    rows = (bz * (H + 1) + by) * (W + 1) + bx
+    w8 = (az[:, :, None, None] * ay[:, None, :, None]
+          * ax[:, None, None, :]).reshape(-1, 8)
+    return rows, w8
+
+
 def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
                          align_corners: bool = True,
                          padding_mode: str = 'zeros',
@@ -270,13 +290,7 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
         table = build_neighborhood_table(vol)
     flat = table.reshape(table.shape[0], -1)
 
-    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, border)
-    by, ay = _axis_window_weights(c[:, 1], H, align_corners, border)
-    bz, az = _axis_window_weights(c[:, 2], D, align_corners, border)
-    rows = (bz * (H + 1) + by) * (W + 1) + bx
-    # (p, 8) corner weights in (z, y, x) minor-to-major corner order
-    w8 = (az[:, :, None, None] * ay[:, None, :, None]
-          * ax[:, None, None, :]).reshape(-1, 8)
+    rows, w8 = corner_rows_weights(c, (D, H, W), align_corners, border)
 
     pad = (-P) % chunk
     rows_p = jnp.pad(rows, (0, pad))
@@ -398,6 +412,14 @@ def sorted_segment_rows(rows: jnp.ndarray, payload: jnp.ndarray,
     live (the one-shot cumsum would materialize two (P, C) fp32 buffers).
     """
     P, C = payload.shape
+    if num_chunks > 1 and P % num_chunks:
+        # pad to a chunk multiple with zero payload on row 0 (contributes
+        # nothing) instead of silently taking the full-materialization path
+        pad = num_chunks - P % num_chunks
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((pad, C), payload.dtype)])
+        P += pad
     order = jnp.argsort(rows)
     r_s = jnp.take(rows, order)
     is_end = jnp.concatenate([r_s[1:] != r_s[:-1], jnp.ones((1,), bool)])
@@ -407,7 +429,7 @@ def sorted_segment_rows(rows: jnp.ndarray, payload: jnp.ndarray,
     start_idx = jnp.where(is_start, r_s, dump).astype(jnp.int32)
     A = jnp.zeros((num_rows + 1, C), jnp.float32)
     Bm = jnp.zeros((num_rows + 1, C), jnp.float32)
-    if num_chunks <= 1 or P % num_chunks:
+    if num_chunks <= 1:
         p_s = jnp.take(payload, order, axis=0).astype(jnp.float32)
         csum = jnp.cumsum(p_s, axis=0)
         A = A.at[end_idx].set(csum, mode='drop', unique_indices=True)

@@ -314,7 +314,8 @@ class NuscDetSegDataset:
         scene = self.infos[idx].get('scene_token')
         for key_idx in self.key_idxes:
             cur = idx + key_idx
-            if cur < 0 or self.infos[cur].get('scene_token') != scene:
+            if (cur < 0 or cur >= len(self.infos)
+                    or self.infos[cur].get('scene_token') != scene):
                 cur = idx
             info = self.infos[cur]
             frames.append((info['cam_infos'], info['lidar_infos']))
@@ -492,7 +493,12 @@ def _proc_init(ds):
     _WORKER_DS = ds
 
 
-def _proc_fetch(idxs):
+def _proc_fetch(idxs, aug_seed):
+    # fork inherits the parent's pristine dataset RNG, so every worker (and
+    # every epoch's re-created pool) would otherwise draw the SAME ida/bda
+    # augmentation stream; reseed per batch from the loader's stream instead
+    # (torch DataLoader does the analogous worker reseeding)
+    _WORKER_DS.rng = np.random.RandomState(aug_seed)
     return collate([_WORKER_DS[int(i)] for i in idxs])
 
 
@@ -544,7 +550,11 @@ class DataLoader:
             def submit(bi):
                 idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
                 if self.use_processes:
-                    futures.append(pool.apply_async(_proc_fetch, (idxs,)))
+                    # per-batch augmentation seed drawn from the loader's RNG
+                    # (advances across batches AND epochs in the parent)
+                    aug_seed = int(self.rng.randint(0, 2 ** 31 - 1))
+                    futures.append(pool.apply_async(_proc_fetch,
+                                                    (idxs, aug_seed)))
                 else:
                     futures.append(pool.submit(
                         lambda ii: collate([self.dataset[int(i)] for i in ii]),

@@ -273,7 +273,7 @@ class Trainer:
         cfg = self.cfg
         params = self._eval_params(state, use_ema)
         if vis:
-            self._test_vis(test_loader, state)
+            self._test_vis(test_loader, state, params=params)
             return
         eval_step = jax.jit(build_eval_step(self.model, cfg, lidar_seg=False))
         results, metas = [], []
@@ -296,9 +296,12 @@ class Trainer:
             version=cfg.train.nusc_version)
         evaluator.evaluate(results, metas)
 
-    def _test_vis(self, loader, state: TrainState) -> None:
+    def _test_vis(self, loader, state: TrainState, params=None) -> None:
         """--vis dumps (base_exp.py:678-708): per-frame pickles of the input
-        tile, rendered depth/semantics, BEV maps and occ prediction."""
+        tile, rendered depth/semantics, BEV maps and occ prediction.
+        `params` lets test() pass the EMA weights it evaluates with."""
+        if params is None:
+            params = state.params
         import pickle
         from ..utils.vis import (tile_cameras, visualize_depth,
                                  visualize_semantic)
@@ -324,7 +327,7 @@ class Trainer:
         idx = 0
         for batch in loader:
             dev = self._to_device(batch)
-            out = jax.device_get(step(state.params, state.batch_stats, dev))
+            out = jax.device_get(step(params, state.batch_stats, dev))
             rgb = np.asarray(denormalize_images(dev['imgs']))
             for b in range(rgb.shape[0]):
                 d = dict(
