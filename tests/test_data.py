@@ -223,3 +223,36 @@ def test_dataset_val_mode(fake_nusc):
     assert 'depth_labels' not in s
     assert s['occ_semantics'].shape == (200, 200, 16)
     assert s['imgs'].shape == (6, 256, 704, 3)
+
+
+def test_loader_full_coverage_no_drop_last(tmp_path):
+    """drop_last=False pads the final partial batch to the static batch size
+    and marks padding via 'sample_valid': every sample token appears exactly
+    once among valid rows (the reference gathers and truncates to dataset
+    length, base_exp.py:920-927 — an eval/predict loader must not drop the
+    tail, or submissions are incomplete)."""
+    from vampire_tpu.data.fake import make_fake_nusc
+    make_fake_nusc(tmp_path, n_samples=3, n_points=200, seed=0)
+    ds = NuscDetSegDataset(
+        ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+        classes=list(DET_CLASSES), data_root=str(tmp_path),
+        info_paths=str(tmp_path / 'infos_train.pkl'),
+        head_cfg=HeadConfig(), mode='val', max_points=512)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        drop_last=False)
+    assert len(loader) == 2
+    seen = []
+    for batch in loader:
+        # static shapes: the padded batch is full-size
+        assert batch['imgs'].shape[0] == 2
+        assert batch['sample_valid'].shape == (2,)
+        for b in range(2):
+            if batch['sample_valid'][b]:
+                seen.append(batch['meta']['token'][b])
+    assert seen == ['s0', 's1', 's2']
+
+    # drop_last=True keeps the old semantics (train loader)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                        drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 1 and batches[0]['sample_valid'].all()

@@ -264,3 +264,76 @@ def test_flagship_ray_pass_coverage_margin():
     # every pass capacity exceeds the worst observed demand by >=5%
     for j, f in enumerate(ray_pass_fracs):
         assert min(1.0, worst[j] * 1.05) <= f + 1e-9, (j, worst[j], f)
+
+
+def test_earlyterm_rays_match_dense():
+    """Transmittance-sorted early-termination sampler vs the dense sampler.
+
+    (a) full caps, arbitrary masks -> exact; (b) caps covering every
+    non-exited ray on prefix-style masks -> exact (the exited tail is
+    closed-form fog); (c) caps that drop saturated rays -> error bounded by
+    exp(-tau) * value scale, and the coverage diagnostic is zero.
+    """
+    from vampire_tpu.core import sampling as S
+    from vampire_tpu.core import geometry as G
+    rng = np.random.RandomState(13)
+    Z, Y, X, K = 5, 8, 8, 4
+    C = 1 + K + 3
+    Rays, Sn = 320, 16
+    vol = rng.randn(Z, Y, X, C).astype(np.float32)
+    delta = jnp.asarray(rng.uniform(0.3, 1.2, (Rays, Sn)).astype(np.float32))
+    mids = jnp.linspace(2.0, 70.4, Sn)
+
+    coords = jnp.asarray(rng.uniform(-1.4, 1.4, (Rays, Sn, 3))
+                         .astype(np.float32))
+    valid_any = G.inrange_mask(coords).astype(jnp.float32)
+
+    # prefix-style validity; half the rays exit early (L <= 4 <= prefix*chunk)
+    L = np.where(rng.rand(Rays) < 0.5, rng.randint(0, 5, Rays),
+                 rng.randint(8, Sn + 1, Rays))
+    prefix_coords = np.asarray(coords).copy()
+    for r in range(Rays):
+        prefix_coords[r, L[r]:, :] = 1.9
+        prefix_coords[r, :L[r], :] = np.clip(prefix_coords[r, :L[r], :],
+                                             -0.95, 0.95)
+    prefix_coords = jnp.asarray(prefix_coords)
+    prefix_valid = G.inrange_mask(prefix_coords).astype(jnp.float32)
+    frac_long = float((L > 4).mean())
+
+    dens = lambda x: R.laplace_density(x, 0.2, -1.0)
+    for cc, vv, fracs, tag in (
+            (coords, valid_any, (1.0, 1.0, 1.0), 'full-caps'),
+            (prefix_coords, prefix_valid, (1.0, 1.0, 1.0), 'full-caps-prefix'),
+            # caps cover every non-exited ray (+margin); exited tail = fog
+            (prefix_coords, prefix_valid,
+             (min(1.0, frac_long + 0.1),) * 3, 'fog-tail'),
+    ):
+        want = R.sample_and_composite_rays(
+            jnp.asarray(S.build_neighborhood_table(jnp.asarray(vol))),
+            (Z, Y, X), K, cc, vv, delta, mids, dens, 70.4, chunk_rays=64)
+        got = R.sample_and_composite_rays_earlyterm(
+            jnp.asarray(S.build_neighborhood_table(jnp.asarray(vol))),
+            (Z, Y, X), K, cc, vv, delta, mids, dens, 70.4,
+            chunk=4, prefix=1, caps_fracs=fracs)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-5, err_msg=tag)
+
+    # (c) saturating field: big positive channel-0 -> laplace density ~ 1/beta
+    vol_sat = vol.copy()
+    vol_sat[..., 0] = -3.0   # sdf - bias << 0 -> density ~ alpha = 5
+    table_s = jnp.asarray(S.build_neighborhood_table(jnp.asarray(vol_sat)))
+    tau = 7.0
+    want = R.sample_and_composite_rays(
+        table_s, (Z, Y, X), K, prefix_coords, prefix_valid, delta, mids,
+        dens, 70.4, chunk_rays=64)
+    got = R.sample_and_composite_rays_earlyterm(
+        table_s, (Z, Y, X), K, prefix_coords, prefix_valid, delta, mids,
+        dens, 70.4, chunk=4, prefix=1, caps_fracs=(0.5, 0.25, 0.1),
+        tau=tau, return_diag=True)
+    diag = int(got[3])
+    assert diag == 0, diag   # every dropped ray was saturated or exited
+    scale = np.abs(vol_sat).max() * 8 + 70.4
+    for a, b in zip(want, got[:3]):
+        err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
+        assert err <= np.exp(-tau) * scale, (err, np.exp(-tau) * scale)

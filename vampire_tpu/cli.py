@@ -52,6 +52,11 @@ def main(argv=None):
     import jax
     if args.debug:
         jax.config.update('jax_platforms', 'cpu')
+    # multi-host bring-up (no-op single process; TPU pods autodetect via
+    # env, CPU clusters via JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID) — replaces torch DDP init (base_cli.py:105)
+    from .parallel.distributed import initialize as dist_initialize
+    dist_initialize()
     from .configs import ablation_config, flagship_config, DET_CLASSES
     from .data.nuscenes import DataLoader, NuscDetSegDataset
     from .data.synthetic import tiny_config
@@ -86,8 +91,15 @@ def main(argv=None):
             head_cfg=cfg.head, mode=mode,
             max_points=cfg.train.max_points, seed=args.seed)
         global_batch = cfg.train.batch_size_per_device * jax.device_count()
-        return DataLoader(ds, batch_size=global_batch, shuffle=shuffle,
-                          num_workers=args.num_workers, seed=args.seed)
+        # eval/predict must cover EVERY sample (the reference truncates the
+        # DDP gather to the dataset length, base_exp.py:920-927); only the
+        # train loader drops the ragged tail. Multi-host: each process loads
+        # its (rank, world) block of every global batch.
+        world = jax.process_count()
+        return DataLoader(ds, batch_size=global_batch // world,
+                          shuffle=shuffle, num_workers=args.num_workers,
+                          seed=args.seed, drop_last=(mode == 'train'),
+                          rank=jax.process_index(), world_size=world)
 
     if args.validate or args.test or args.predict:
         loader = make_loader('val' if not args.predict else 'test',

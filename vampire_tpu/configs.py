@@ -92,7 +92,8 @@ class BackboneConfig:
     # (Y, X) voxel blocks per camera instead of all Z*Y*X queries. A camera
     # sees <~35% of the ego grid (<=120deg FOV wedge of the 102.4m square +
     # boundary blocks), so K=448 of 1024 blocks covers every visible block
-    # with >25% margin (tests/test_model.py asserts coverage); blocks beyond
+    # with >25% margin (tests/test_lift.py::
+    # test_flagship_block_coverage_margin asserts coverage); blocks beyond
     # K (impossible under that margin) would degrade gracefully — the voxel
     # simply loses that camera's contribution in the masked mean, exactly as
     # if out of view. 0 disables (dense gather over the full grid).
@@ -121,6 +122,26 @@ class BackboneConfig:
     ray_chunk: int = 8
     ray_pass_fracs: Tuple[float, ...] = (
         1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
+    # Transmittance-sorted early termination (INFERENCE ray sampling):
+    # `ray_et_prefix` dense chunk-passes (chunk = ray_et_chunk samples)
+    # accumulate per-ray optical depth, then ONE sort orders rays by carried
+    # optical depth (exited-field rays last — their tail is exact closed-form
+    # fog), and the remaining passes run on shrinking static ray counts
+    # ceil(frac * rays). A dropped ray's remaining contribution is bounded by
+    # exp(-sd_at_drop); the default schedule keeps every ray with sd < tau
+    # (trans > exp(-7) ~ 1e-3) on the measured worst case of the
+    # scripts/ray_et_study.py scene family (sky-heavy, fog-init, trained-
+    # sharp) with margin — rays the schedule drops are saturated, so the
+    # output error is < ~1e-3 of value scale (tests/test_rendering.py pins
+    # both the exactness path and the error bound). Empty tuple disables
+    # (dense sampler, bit-exact reference semantics).
+    # Default schedule: scripts/ray_et_study.py worst-case demand over the
+    # scene family (max over open/suburb/urban/fog x 3 rigs) +10% margin,
+    # rounded up — 0.53x the dense gather rows incl. the dense prefix.
+    ray_et_chunk: int = 12
+    ray_et_prefix: int = 2
+    ray_et_fracs: Tuple[float, ...] = (0.71, 0.47, 0.37, 0.14, 0.06, 0.03)
+    ray_et_tau: float = 7.0
 
     @property
     def img_out_channels(self) -> int:
@@ -272,6 +293,10 @@ class TrainConfig:
     max_points: int = 36864
     # max GT boxes per sample after padding
     max_gt_boxes: int = 500
+    # checkpoints retained by orbax: 0 = keep every epoch (the reference
+    # keeps every epoch's EMA .pth sidecar, callbacks/ema.py:101-117, so a
+    # 24-epoch study can resume/eval from any epoch); N > 0 keeps the last N
+    keep_checkpoints: int = 3
 
     @property
     def lr(self) -> float:

@@ -299,6 +299,158 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
     return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
 
 
+def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
+                                        vol_shape: Tuple[int, int, int],
+                                        num_classes: int,
+                                        coords: jnp.ndarray,
+                                        valid: jnp.ndarray,
+                                        deltas: jnp.ndarray,
+                                        camera_mids: jnp.ndarray,
+                                        density_fn,
+                                        bg_depth: float,
+                                        chunk: int,
+                                        prefix: int,
+                                        caps_fracs: Tuple[float, ...],
+                                        tau: float = 7.0,
+                                        return_diag: bool = False):
+    """Transmittance-sorted early-termination variant of the ray sampler.
+
+    Combines BOTH structural sources of wasted gather rows (the reference
+    composites all samples of every ray, base_vampire2.py:419-434):
+
+      * rays that have EXITED the convex field box (valid samples are a
+        prefix [0, L)) — their remaining compositing contribution is the
+        closed-form zeros-padding "fog", no gather needed (exact, as in
+        `sample_and_composite_rays_compact`);
+      * rays whose carried optical depth `sd` has saturated — remaining
+        transmittance exp(-sd) <= exp(-tau) makes every further sample's
+        weight negligible (the classic volume-rendering early exit).
+
+    Pipeline: `prefix` dense chunk-passes over ALL rays accumulate carried
+    optical depth; then ONE sort (key = carried sd, exited rays forced
+    last); remaining passes run on shrinking static ray counts
+    ceil(caps_fracs[j] * R) — sd only grows, so the sort order remains the
+    right priority for every later pass. Dropped rays are either exited
+    (exact fog added in closed form) or carry sd at drop time; the absolute
+    output error per dropped ray is bounded by exp(-sd_drop) * value range,
+    <= exp(-tau) when the caps cover every ray with sd < tau. The returned
+    diagnostic counts (ray, pass) drops that violate that coverage
+    (sd < tau, not exited) so mis-sized caps are detectable, not silent.
+
+    caps_fracs are static per-config constants — measured on representative
+    scene statistics with margin (see BackboneConfig.ray_et_fracs), so the
+    COST is data-independent; only the (bounded) error is data-dependent.
+
+    Args: as `sample_and_composite_rays`, plus
+      chunk: samples per pass; prefix: number of dense passes before the
+      sort; caps_fracs: per-post-sort-pass ray fractions (len must be
+      ceil(S/chunk) - prefix); tau: coverage threshold for the diagnostic;
+      return_diag: also return the violation count.
+
+    Returns (rgb (R,3), seg (R,K), depth (R,)) fp32 [, diag ()].
+    """
+    from . import sampling as S
+    import numpy as np
+    D, H, W = vol_shape
+    K = num_classes
+    C = 1 + K + 3
+    flat = table.reshape(table.shape[0], -1)
+    R, S_n = coords.shape[:2]
+    n_pass = -(-S_n // chunk)
+    assert 0 < prefix <= n_pass
+    assert len(caps_fracs) == n_pass - prefix, (len(caps_fracs), n_pass, prefix)
+    mids = camera_mids.astype(jnp.float32)
+    val = valid.astype(jnp.float32)
+    dl_all = deltas.astype(jnp.float32)
+    d0 = density_fn(jnp.zeros((), jnp.float32))
+
+    def one_pass(cc, vl, dl, sd_in, m_sl):
+        kj, sc = vl.shape
+        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
+                                         True, False)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
+        samp = samp.reshape(kj, sc, C) * vl[..., None]
+        sdf = samp[..., 0]
+        density = density_fn(sdf)
+        sd = density * dl
+        local = jnp.cumsum(sd, axis=-1) - sd
+        trans = jnp.exp(-(sd_in[:, None] + local))
+        w = (1.0 - jnp.exp(-sd)) * trans
+        rgb_o = jnp.sum(w[..., None] * samp[..., K + 1:K + 4], axis=1)
+        seg_o = jnp.sum(w[..., None] * samp[..., 1:K + 1], axis=1)
+        depth_o = jnp.sum(w * m_sl[None, :], axis=1)
+        w_o = jnp.sum(w, axis=1)
+        sd_o = jnp.sum(sd, axis=1)
+        return jnp.concatenate(
+            [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
+            axis=-1)
+
+    one_pass = jax.checkpoint(one_pass)
+
+    # accumulator layout: rgb [0:3] | seg [3:3+K] | depth K+3 | w K+4 | sd K+5
+    acc = jnp.zeros((R, C + 2), jnp.float32)
+    for j in range(prefix):
+        s0, s1 = j * chunk, min(S_n, (j + 1) * chunk)
+        upd = one_pass(coords[:, s0:s1], val[:, s0:s1], dl_all[:, s0:s1],
+                       acc[:, C + 1], mids[s0:s1])
+        acc = acc + upd
+
+    # one transmittance sort; exited rays (all in-field samples consumed)
+    # go last — their tail is exact closed-form fog
+    has = jnp.any(val > 0, axis=1)
+    L = jnp.where(has, S_n - jnp.argmax(val[:, ::-1] > 0, axis=1), 0)
+    exited = L <= prefix * chunk
+    key = acc[:, C + 1] + jnp.where(exited, 1e9, 0.0)
+    order = jnp.argsort(key)
+    acc = jnp.take(acc, order, axis=0)
+    exited_s = jnp.take(exited, order)
+
+    caps = [min(R, int(np.ceil(f * R / 256.0) * 256)) for f in caps_fracs]
+    for j in range(len(caps) - 2, -1, -1):
+        caps[j] = max(caps[j], caps[j + 1])
+
+    diag = jnp.zeros((), jnp.int32)
+    pos = jnp.arange(R)
+    for j, kj in enumerate(caps):
+        s0 = (prefix + j) * chunk
+        s1 = min(S_n, s0 + chunk)
+        # lazy reorder: slice the sample window first, then take the rows
+        idx = order[:kj]
+        cc = jnp.take(coords[:, s0:s1], idx, axis=0)
+        vl = jnp.take(val[:, s0:s1], idx, axis=0)
+        dl = jnp.take(dl_all[:, s0:s1], idx, axis=0)
+        upd = one_pass(cc, vl, dl, acc[:kj, C + 1], mids[s0:s1])
+        acc = acc.at[:kj].add(upd)
+        if return_diag:
+            dropped_bad = (pos >= kj) & (~exited_s) & (acc[:, C + 1] < tau)
+            diag = diag + jnp.sum(dropped_bad.astype(jnp.int32))
+
+    # closed-form fog for EXITED rays' untouched samples
+    processed = prefix * chunk + sum(
+        jnp.where(pos < kj, min(S_n, (prefix + j + 1) * chunk)
+                  - (prefix + j) * chunk, 0)
+        for j, kj in enumerate(caps))
+    s_idx = jnp.arange(S_n)[None, :]
+    fog_m = ((s_idx >= processed[:, None])
+             & exited_s[:, None]).astype(jnp.float32)
+    dl_s = jnp.take(dl_all, order, axis=0)
+    sd_f = d0 * dl_s * fog_m
+    local = jnp.cumsum(sd_f, axis=-1) - sd_f
+    trans = jnp.exp(-(acc[:, C + 1][:, None] + local))
+    wf = (1.0 - jnp.exp(-sd_f)) * trans * fog_m
+    depth_f = jnp.sum(wf * mids[None, :], axis=1)
+    w_f = jnp.sum(wf, axis=1)
+
+    acc_w = acc[:, K + 4] + w_f
+    depth = acc[:, K + 3] + depth_f + (1.0 - acc_w) * bg_depth
+    out = jnp.concatenate([acc[:, :K + 3], depth[:, None]], axis=-1)
+    inv = jnp.argsort(order)
+    out = jnp.take(out, inv, axis=0)
+    res = (out[:, :3], out[:, 3:K + 3], out[:, K + 3])
+    return res + (diag,) if return_diag else res
+
+
 def render_bev_columns(density: jnp.ndarray,
                        seg_logits: jnp.ndarray,
                        rgb: jnp.ndarray,

@@ -515,7 +515,15 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True, seed: int = 0,
-                 prefetch: int = 2, use_processes: bool = False):
+                 prefetch: int = 2, use_processes: bool = False,
+                 rank: int = 0, world_size: int = 1):
+        """rank/world_size: multi-host sharding (torch DistributedSampler
+        semantics, base_cli.py:105/base_exp.py:954-1043). `batch_size` is the
+        PER-PROCESS batch; every process draws the same global index order
+        (identical `seed`!) and takes its contiguous `batch_size` block of
+        each global batch, so `jax.make_array_from_process_local_data`
+        reassembles the logical global batch in order: global row
+        bi*world*bs + rank*bs + r  ==  this loader's batch bi row r."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -524,10 +532,13 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
         self.use_processes = use_processes
+        self.rank = rank
+        self.world_size = world_size
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        gb = self.batch_size * self.world_size
+        return n // gb if self.drop_last else -(-n // gb)
 
     def _pool(self):
         if self.use_processes:
@@ -539,20 +550,36 @@ class DataLoader:
         return cf.ThreadPoolExecutor(self.num_workers)
 
     def __iter__(self):
-        order = np.arange(len(self.dataset))
+        n = len(self.dataset)
+        order = np.arange(n)
         if self.shuffle:
-            self.rng.shuffle(order)
+            self.rng.shuffle(order)  # identical across ranks (same seed)
+        gb = self.batch_size * self.world_size
         n_batches = len(self)
+        # drop_last=False: pad the global order to full batches by repeating
+        # the last sample; 'sample_valid' marks the real rows so eval/predict
+        # consumers mask/skip the padding — the reference instead gathers and
+        # truncates to the dataset length (base_exp.py:920-927)
+        total = n_batches * gb
+        pad_order = np.concatenate(
+            [order[:total], np.full(max(0, total - n), order[-1] if n else 0)])
+        # this rank's contiguous block of every global batch (see __init__)
+        sel = pad_order.reshape(n_batches, self.world_size,
+                                self.batch_size)[:, self.rank]
+        val = (np.arange(total) < n).reshape(
+            n_batches, self.world_size, self.batch_size)[:, self.rank]
         pool = self._pool()
         try:
             futures = []
 
             def submit(bi):
-                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                idxs = sel[bi]
+                # per-batch augmentation seed drawn from the loader's RNG
+                # (advances across batches AND epochs, in step across ranks;
+                # mixed with the rank so aug params decorrelate)
+                aug_seed = (int(self.rng.randint(0, 2 ** 31 - 1))
+                            ^ (self.rank * 0x9E3779B1 & 0x7FFFFFFF))
                 if self.use_processes:
-                    # per-batch augmentation seed drawn from the loader's RNG
-                    # (advances across batches AND epochs in the parent)
-                    aug_seed = int(self.rng.randint(0, 2 ** 31 - 1))
                     futures.append(pool.apply_async(_proc_fetch,
                                                     (idxs, aug_seed)))
                 else:
@@ -567,6 +594,7 @@ class DataLoader:
                 nxt = bi + self.prefetch
                 if nxt < n_batches:
                     submit(nxt)
+                batch['sample_valid'] = val[bi].copy()
                 yield batch
         finally:
             if self.use_processes:

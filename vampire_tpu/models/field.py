@@ -401,12 +401,20 @@ class FieldBackbone(nn.Module):
         # gathered rows, so the compaction is applied when ray_pass_fracs
         # are configured and this is a train-mode forward.
         n_pass = -(-Snum // c.ray_chunk)
+        n_et_pass = -(-Snum // c.ray_et_chunk)
         use_compact = (train and c.ray_pass_fracs
                        and len(c.ray_pass_fracs) == n_pass)
+        use_et = ((not train) and c.ray_et_fracs
+                  and len(c.ray_et_fracs) == n_et_pass - c.ray_et_prefix)
         if use_compact:
             sampler = functools.partial(
                 R.sample_and_composite_rays_compact, chunk=c.ray_chunk,
                 pass_fracs=c.ray_pass_fracs)
+        elif use_et:
+            sampler = functools.partial(
+                R.sample_and_composite_rays_earlyterm, chunk=c.ray_et_chunk,
+                prefix=c.ray_et_prefix, caps_fracs=c.ray_et_fracs,
+                tau=c.ray_et_tau)
         else:
             sampler = R.sample_and_composite_rays
         rgb_p, seg_p, depth_p = jax.vmap(

@@ -1,0 +1,271 @@
+"""Pallas streaming builders for the trilinear corner-block gather tables.
+
+The fused samplers (`core/sampling.py`) gather ONE table row per query, where
+row (bz, by, bx) holds the full 2x2x2 corner footprint of the zero-padded
+volume. Building that table in XLA — a channel-axis concat of 8 shifted
+slices — measures ~26 GB/s on TPU v5e (scripts/perf_lift_parts.py,
+perf_breakdown.py 'raytable'): the interleaved minor-axis writes defeat XLA's
+fusion, costing ~25 ms/frame for the ray table + ~33 ms for the six lift
+tables, two of the largest line items of the inference frame.
+
+These kernels write the identical tables as a streaming copy: grid over
+(z-plane, y-tile), one small DMA window in, one VPU lane-concat, one block
+out. Byte-identical to the XLA path (it is pure data movement), pinned by
+tests/test_pallas_tables.py; non-TPU backends fall back to the XLA build.
+
+Backwards: the table build is linear; the VJP (sum of 8 shifted slices of
+the cotangent) runs as plain XLA, which handles slice-sum reads at full
+bandwidth — only the scattered WRITE pattern of the forward was slow.
+
+Reference semantics: `torch.nn.functional.grid_sample` corner footprints
+(base_vampire2.py:419,507,590) — see core/sampling.py for the sampler side.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
+def _pad_rows(n_out: int, tile: int) -> int:
+    """Number of source rows needed so every DMA window is in-bounds."""
+    n_tiles = -(-n_out // tile)
+    return n_tiles * tile + 1
+
+
+# ---------------------------------------------------------------------------
+# Corner table of a (D, H, W, C) volume -> (D+1, H+1, W+1, 8*C)
+# Row (bz, by, bx), channel k*C+c (k in (dz, dy, dx) major order) =
+#   padded_vol[bz+dz, by+dy, bx+dx, c].
+# ---------------------------------------------------------------------------
+
+def _corner_table_xla(vol: jnp.ndarray) -> jnp.ndarray:
+    D, H, W, C = vol.shape
+    p = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    parts = [p[k:k + D + 1, i:i + H + 1, j:j + W + 1]
+             for k in (0, 1) for i in (0, 1) for j in (0, 1)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _corner_table_pallas(vol: jnp.ndarray, ty: int = 16) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W, C = vol.shape
+    n_ty = -(-(H + 1) // ty)
+    ypad = _pad_rows(H + 1, ty) - (H + 2)
+    # Mosaic DMA slices require the tiled dims (last two) to stay aligned:
+    # second-minor (x) to 8, minor (C) to a full 128-lane tile. The pads are
+    # zeros; extra y rows only feed clipped output blocks, extra x/C lanes
+    # are never read by the in-kernel slices.
+    xp = (-(W + 2)) % 8
+    cp = (-C) % 128
+    p = jnp.pad(vol, ((1, 1), (1, 1 + ypad), (1, 1 + xp), (0, cp)))
+
+    def kernel(p_ref, out_ref, scratch, sem):
+        bz = pl.program_id(0)
+        y0 = pl.program_id(1) * ty
+        dma = pltpu.make_async_copy(
+            p_ref.at[pl.ds(bz, 2), pl.ds(y0, ty + 1)], scratch, sem)
+        dma.start()
+        dma.wait()
+        k = 0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    out_ref[0, :, :, k * C:(k + 1) * C] = \
+                        scratch[dz, dy:dy + ty, dx:dx + W + 1, :C]
+                    k += 1
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(D + 1, n_ty),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, ty, W + 1, 8 * C),
+                               lambda bz, t: (bz, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D + 1, H + 1, W + 1, 8 * C),
+                                       vol.dtype),
+        scratch_shapes=[pltpu.VMEM((2, ty + 1, W + 2 + xp, C + cp),
+                                   vol.dtype),
+                        pltpu.SemaphoreType.DMA],
+    )(p)
+    return out
+
+
+def _corner_table_bwd_impl(shape_dtype, g):
+    """VJP of the corner-table build: sum the 8 shifted cotangent slices."""
+    D, H, W, C = shape_dtype.shape
+    gg = g.reshape(D + 1, H + 1, W + 1, 8, C)
+    out = jnp.zeros((D, H, W, C), jnp.float32)
+    k = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out = out + gg[1 - dz:D + 1 - dz, 1 - dy:H + 1 - dy,
+                               1 - dx:W + 1 - dx, k].astype(jnp.float32)
+                k += 1
+    return out.astype(shape_dtype.dtype)
+
+
+@jax.custom_vjp
+def corner_table(vol: jnp.ndarray) -> jnp.ndarray:
+    """(D, H, W, C) -> (D+1, H+1, W+1, 8*C) corner-block table.
+
+    Pallas streaming build on TPU; XLA concat elsewhere (identical values).
+    """
+    if _on_tpu():
+        return _corner_table_pallas(vol)
+    return _corner_table_xla(vol)
+
+
+def _corner_table_fwd(vol):
+    return corner_table(vol), jax.ShapeDtypeStruct(vol.shape, vol.dtype)
+
+
+def _corner_table_bwd(res, g):
+    return (_corner_table_bwd_impl(res, g),)
+
+
+corner_table.defvjp(_corner_table_fwd, _corner_table_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused lift table: depth (D, h, w) + feat (h, w, C) ->
+#   (D+1, h+1, w+1, 8 + 4*C)
+# channels [0:8]   = depth corner block, (dz, dy, dx) major;
+# channels [8:8+4C] = feat 2x2 block, (dy, dx) major, independent of bz.
+# Matches the flat table of sampling.sample_outer_product_fused exactly.
+# ---------------------------------------------------------------------------
+
+def _lift_table_xla(depth: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    D, H, W = depth.shape
+    C = feat.shape[-1]
+    dt = jnp.result_type(depth, feat)
+    dp = jnp.pad(depth.astype(dt)[..., None], ((1, 1), (1, 1), (1, 1), (0, 0)))
+    dtab = jnp.concatenate([dp[k:k + D + 1, i:i + H + 1, j:j + W + 1]
+                            for k in (0, 1) for i in (0, 1) for j in (0, 1)],
+                           axis=-1)                   # (D+1, H+1, W+1, 8)
+    fp = jnp.pad(feat.astype(dt), ((1, 1), (1, 1), (0, 0)))
+    fblk = jnp.concatenate([fp[i:i + H + 1, j:j + W + 1]
+                            for i in (0, 1) for j in (0, 1)], axis=-1)
+    ftab = jnp.broadcast_to(fblk[None], (D + 1,) + fblk.shape)
+    return jnp.concatenate([dtab, ftab], axis=-1)
+
+
+def _lift_table_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
+                       ty: int = 16) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D, H, W = depth.shape
+    C = feat.shape[-1]
+    dt = jnp.result_type(depth, feat)
+    assert ty % 8 == 0, ty
+    n_ty = -(-(H + 1) // ty)
+    # pd is 3D, so its y axis is the sublane dim: DMA windows must be
+    # 8-aligned -> fetch ty+8 rows (y0 = t*ty stays 8-aligned); its x axis
+    # is the lane dim -> pad to a 128 multiple. pf keeps x on sublanes
+    # (8-aligned) and C on lanes (128-aligned).
+    ypad_d = n_ty * ty + 8 - (H + 2)
+    ypad_f = _pad_rows(H + 1, ty) - (H + 2)
+    xp_d = (-(W + 2)) % 128
+    xp_f = (-(W + 2)) % 8
+    cp = (-C) % 128
+    # pd stays f32 in the kernel: Mosaic only supports the (ty, W+1) ->
+    # (ty, W+1, 1) minor-dim insertion for 32-bit types; cast at the write
+    pd = jnp.pad(depth.astype(jnp.float32),
+                 ((1, 1), (1, 1 + ypad_d), (1, 1 + xp_d)))
+    pf = jnp.pad(feat.astype(dt), ((1, 1 + ypad_f), (1, 1 + xp_f), (0, cp)))
+
+    def kernel(pd_ref, pf_ref, out_ref, sd, sf, sem):
+        bz = pl.program_id(0)
+        y0 = pl.program_id(1) * ty
+        dma_d = pltpu.make_async_copy(
+            pd_ref.at[pl.ds(bz, 2), pl.ds(y0, ty + 8)], sd, sem.at[0])
+        dma_f = pltpu.make_async_copy(
+            pf_ref.at[pl.ds(y0, ty + 1)], sf, sem.at[1])
+        dma_d.start()
+        dma_f.start()
+        dma_d.wait()
+        dma_f.wait()
+        k = 0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    out_ref[0, :, :, k:k + 1] = \
+                        sd[dz, dy:dy + ty, dx:dx + W + 1][..., None] \
+                        .astype(out_ref.dtype)
+                    k += 1
+        k2 = 0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                out_ref[0, :, :, 8 + k2 * C:8 + (k2 + 1) * C] = \
+                    sf[dy:dy + ty, dx:dx + W + 1, :C]
+                k2 += 1
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(D + 1, n_ty),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, ty, W + 1, 8 + 4 * C),
+                               lambda bz, t: (bz, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D + 1, H + 1, W + 1, 8 + 4 * C), dt),
+        scratch_shapes=[pltpu.VMEM((2, ty + 8, W + 2 + xp_d), jnp.float32),
+                        pltpu.VMEM((ty + 1, W + 2 + xp_f, C + cp), dt),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(pd, pf)
+    return out
+
+
+@jax.custom_vjp
+def lift_table(depth: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """Fused depth-corner + feature-block lift table (see module docstring)."""
+    if _on_tpu():
+        return _lift_table_pallas(depth, feat)
+    return _lift_table_xla(depth, feat)
+
+
+def _lift_table_fwd(depth, feat):
+    return lift_table(depth, feat), (
+        jax.ShapeDtypeStruct(depth.shape, depth.dtype),
+        jax.ShapeDtypeStruct(feat.shape, feat.dtype))
+
+
+def _lift_table_bwd(res, g):
+    dsd, fsd = res
+    D, H, W = dsd.shape
+    C = fsd.shape[-1]
+    gd = g[..., :8]
+    gf = g[..., 8:].reshape(D + 1, H + 1, W + 1, 4, C)
+    ddepth = jnp.zeros((D, H, W), jnp.float32)
+    k = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ddepth = ddepth + gd[1 - dz:D + 1 - dz, 1 - dy:H + 1 - dy,
+                                     1 - dx:W + 1 - dx, k].astype(jnp.float32)
+                k += 1
+    # the feat block was broadcast over the D+1 planes: sum that axis first
+    gf = jnp.sum(gf.astype(jnp.float32), axis=0)      # (H+1, W+1, 4, C)
+    dfeat = jnp.zeros((H, W, C), jnp.float32)
+    k = 0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            dfeat = dfeat + gf[1 - dy:H + 1 - dy, 1 - dx:W + 1 - dx, k]
+            k += 1
+    return ddepth.astype(dsd.dtype), dfeat.astype(fsd.dtype)
+
+
+lift_table.defvjp(_lift_table_fwd, _lift_table_bwd)

@@ -72,16 +72,24 @@ class Trainer:
 
     def _replicate(self, tree):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+        sh = NamedSharding(self.mesh, P())
+        if jax.process_count() == 1:
+            return jax.device_put(tree, sh)
+        # multi-process: device_put cannot target non-addressable devices;
+        # a jitted identity with replicated out_shardings can (every process
+        # passes the same host values, in SPMD lockstep)
+        return jax.jit(lambda x: x, out_shardings=sh)(tree)
 
     def _to_device(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        from jax.sharding import NamedSharding
+        """Local batch rows -> sharded global arrays. Multi-process runs
+        assemble each process's loader block into one logical global batch
+        (parallel/distributed.py; replaces the reference's DDP per-rank
+        batches, base_cli.py:105)."""
+        from ..parallel.distributed import make_global_batch
         arrays = {k: v for k, v in batch.items()
                   if k not in DEVICE_KEYS_EXCLUDE}
         specs = batch_pspecs(arrays)
-        return {k: jax.device_put(jnp.asarray(v),
-                                  NamedSharding(self.mesh, specs[k]))
-                for k, v in arrays.items()}
+        return make_global_batch(arrays, self.mesh, specs)
 
     def log_scalars(self, step: int, scalars: Dict[str, Any]):
         rec = {'step': step}
@@ -93,9 +101,11 @@ class Trainer:
     def checkpoint_manager(self):
         if self._ckpt_mgr is None:
             import orbax.checkpoint as ocp
+            keep = self.cfg.train.keep_checkpoints
             self._ckpt_mgr = ocp.CheckpointManager(
                 os.path.abspath(os.path.join(self.workdir, 'checkpoints')),
-                options=ocp.CheckpointManagerOptions(max_to_keep=3))
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=None if keep == 0 else keep))
         return self._ckpt_mgr
 
     def save_checkpoint(self, state: TrainState, epoch: int):
@@ -159,14 +169,17 @@ class Trainer:
                 start_epoch = latest + 1
                 print(f'resuming from checkpoint {latest} '
                       f'(epoch {start_epoch}, step {int(state.step)})')
+        from .train_step import init_train_confusion
         train_step = jax.jit(build_train_step(self.model, cfg, self.tx,
-                                              self.num_devices),
-                             donate_argnums=0)
+                                              self.num_devices,
+                                              with_metrics=True),
+                             donate_argnums=(0, 2))
         for epoch in range(start_epoch, cfg.train.max_epochs):
             t_ep = time.time()
+            conf = self._replicate(init_train_confusion(cfg))
             for it, batch in enumerate(train_loader):
                 dev_batch = self._to_device(batch)
-                state, logs = train_step(state, dev_batch)
+                state, logs, conf = train_step(state, dev_batch, conf)
                 if it % log_every == 0:
                     logs = jax.device_get(logs)
                     self.log_scalars(int(state.step), logs)
@@ -178,11 +191,34 @@ class Trainer:
                     except Exception as e:  # vis must never kill training
                         print(f'log_images failed: {e}')
             print(f'epoch {epoch} done in {time.time() - t_ep:.1f}s')
+            self._report_train_iou(conf, int(state.step))
             self.save_checkpoint(state, epoch)
             if val_loader is not None and \
                     (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
                 self.validate(val_loader, state)
         return state
+
+    def _report_train_iou(self, conf, step: int) -> None:
+        """Epoch-end train IoU reports (base_exp.py:851-878): per-class
+        lidarseg IoU over classes 1..16 and occupancy IoU over 0..16,
+        accumulated on device during training, reported and reset here."""
+        cfg = self.cfg
+        conf_seg, conf_occ = jax.device_get(conf)
+        seg = JaccardIndex(17, ignore_index=0)
+        seg.update_confusion(conf_seg)
+        iou = seg.compute()[1:]
+        miou = float(np.nanmean(iou))
+        print(format_iou_report(iou, LABEL_17_NAMES[1:-1], 'Training'))
+        print(f'Current training miou is {miou * 100:.3f}')
+        occm = JaccardIndex(cfg.backbone.num_classes)
+        occm.update_confusion(conf_occ)
+        occ = occm.compute()[:-1]
+        occ_miou = float(np.nanmean(occ))
+        print(format_iou_report(occ, LABEL_17_NAMES[:-1],
+                                'Training occupancy'))
+        print(f'Current train occupancy miou is {occ_miou * 100:.3f}')
+        self.log_scalars(step, {'train/mIoU': miou,
+                                'train/occ_mIoU': occ_miou})
 
     def log_images(self, state: TrainState, dev_batch) -> None:
         """Periodic image panels (base_exp.py:419-513): rgb/seg/depth renders
@@ -245,13 +281,15 @@ class Trainer:
             occ_iou.update_confusion(conf_occ)
         iou = val_iou.compute()[1:]
         miou = float(np.nanmean(iou))
-        print(format_iou_report(iou, LABEL_17_NAMES[1:-1], 'Validation'))
-        print(f'Current val miou is {miou * 100:.3f}')
         occ = occ_iou.compute()[:-1]
         occ_miou = float(np.nanmean(occ))
-        print(format_iou_report(occ, LABEL_17_NAMES[:-1],
-                                'Validation occupancy'))
-        print(f'Current val occupancy miou is {occ_miou * 100:.3f}')
+        from ..parallel.distributed import is_main_process
+        if is_main_process():
+            print(format_iou_report(iou, LABEL_17_NAMES[1:-1], 'Validation'))
+            print(f'Current val miou is {miou * 100:.3f}')
+            print(format_iou_report(occ, LABEL_17_NAMES[:-1],
+                                    'Validation occupancy'))
+            print(f'Current val occupancy miou is {occ_miou * 100:.3f}')
         return {'val/mIoU': miou, 'val/occ_mIoU': occ_miou}
 
     def _eval_params(self, state: TrainState, use_ema: Optional[bool] = None):
@@ -275,20 +313,33 @@ class Trainer:
         if vis:
             self._test_vis(test_loader, state, params=params)
             return
+        from ..parallel.distributed import (host_local_rows, is_main_process,
+                                            process_allgather)
         eval_step = jax.jit(build_eval_step(self.model, cfg, lidar_seg=False))
         results, metas = [], []
         for batch in test_loader:
             dev = self._to_device(batch)
-            out = jax.device_get(eval_step(params, state.batch_stats,
-                                           dev))
-            B = dev['imgs'].shape[0]
+            # each process fetches ITS rows (its loader block); results are
+            # all-gathered below (torch_dist.all_gather_object parity,
+            # base_exp.py:920-927)
+            out = host_local_rows(eval_step(params, state.batch_stats, dev),
+                                  self.mesh)
+            B = batch['imgs'].shape[0]  # local (host) rows
+            sv = np.asarray(batch.get('sample_valid', np.ones(B, bool)))
             for b in range(B):
+                if not sv[b]:
+                    continue  # padding row of the final partial batch
                 results.append(apply_circle_nms(out['det'], cfg.head, b))
                 metas.append(dict(
                     token=batch['meta']['token'][b],
                     ego2global_rotation=batch['meta']['ego2global_rotation'][b],
                     ego2global_translation=batch['meta'][
                         'ego2global_translation'][b]))
+        pairs = process_allgather((results, metas))
+        results = [r for rs, _ in pairs for r in rs]
+        metas = [m for _, ms in pairs for m in ms]
+        if not is_main_process():
+            return
         evaluator = DetNuscEvaluator(
             class_names=[c for t in cfg.head.tasks for c in t],
             output_dir=os.path.join(self.workdir, 'detection_submit'),
@@ -329,7 +380,11 @@ class Trainer:
             dev = self._to_device(batch)
             out = jax.device_get(step(params, state.batch_stats, dev))
             rgb = np.asarray(denormalize_images(dev['imgs']))
+            sv = np.asarray(batch.get('sample_valid',
+                                      np.ones(rgb.shape[0], bool)))
             for b in range(rgb.shape[0]):
+                if not sv[b]:
+                    continue  # padding row of the final partial batch
                 d = dict(
                     batch_idx=idx,
                     lidar_token=batch['meta'].get('lidar_token', [''] *
@@ -368,13 +423,19 @@ class Trainer:
             from ..models.centerpoint_head import decode_preds
             return dict(det=decode_preds(preds, cfg.head),
                         pts_logits=fo['pts_logits'])
+        from ..parallel.distributed import (host_local_rows, is_main_process,
+                                            process_allgather)
         step = jax.jit(predict_step)
         results, metas, seg_results = [], [], []
         for batch in loader:
             dev = self._to_device(batch)
-            out = jax.device_get(step(eval_params, state.batch_stats, dev))
-            B = dev['imgs'].shape[0]
+            out = host_local_rows(step(eval_params, state.batch_stats, dev),
+                                  self.mesh)
+            B = batch['imgs'].shape[0]  # local (host) rows
+            sv = np.asarray(batch.get('sample_valid', np.ones(B, bool)))
             for b in range(B):
+                if not sv[b]:
+                    continue  # padding row of the final partial batch
                 results.append(apply_circle_nms(out['det'], cfg.head, b))
                 metas.append(dict(
                     token=batch['meta']['token'][b],
@@ -385,6 +446,12 @@ class Trainer:
                 seg_results.append(
                     (batch['meta']['lidar_token'][b],
                      lidarseg_labels(out['pts_logits'][b], n)))
+        gathered = process_allgather((results, metas, seg_results))
+        results = [r for rs, _, _ in gathered for r in rs]
+        metas = [m for _, ms, _ in gathered for m in ms]
+        seg_results = [s for _, _, ss in gathered for s in ss]
+        if not is_main_process():
+            return
         submit_dir = os.path.join(self.workdir, 'lidarseg_submit')
         write_submission(seg_results, submit_dir, split='test')
         evaluator = DetNuscEvaluator(
