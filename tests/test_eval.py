@@ -97,3 +97,36 @@ def test_lidarseg_writer(tmp_path):
     out = os.path.join(tmp_path, 'lidarseg', 'test', 'tokA_lidarseg.bin')
     assert np.array_equal(np.fromfile(out, np.uint8), labels)
     assert os.path.exists(os.path.join(tmp_path, 'test', 'submission.json'))
+
+
+def test_visualize_preds_overlay(tmp_path):
+    """scripts/visualize_preds.py renders pred+GT box overlays (the working
+    version of the reference's broken scripts/visualize_nusc.py:125 demo)."""
+    import json
+    import sys
+    sys.path.insert(0, '/root/repo/scripts')
+    from vampire_tpu.data.fake import make_fake_nusc
+    import visualize_preds as V
+    make_fake_nusc(tmp_path, n_samples=2, n_points=100, seed=0)
+    results = {'results': {
+        's0': [dict(translation=[105.0, 55.0, 0.5], size=[1.9, 4.5, 1.6],
+                    rotation=[1.0, 0, 0, 0], velocity=[0, 0],
+                    detection_name='car', detection_score=0.9,
+                    attribute_name='vehicle.moving')],
+        's1': [],
+    }}
+    rpath = tmp_path / 'results_nusc.json'
+    rpath.write_text(json.dumps(results))
+    out = tmp_path / 'viz'
+    n = V.main(['--info', str(tmp_path / 'infos_train.pkl'),
+                '--results', str(rpath), '--data-root', str(tmp_path),
+                '--out', str(out), '--max-samples', '5'])
+    assert n == 2
+    import numpy as np
+    from PIL import Image
+    img = np.asarray(Image.open(out / 's0.png'))
+    assert img.ndim == 3 and img.shape[0] == 900
+    # the GT box (same pose as the prediction) must actually draw: green
+    # and blue wireframe pixels present somewhere in the panel
+    assert (img[..., 1] > 200).sum() > 50   # GT green
+    assert ((img[..., 2] > 200) & (img[..., 0] < 120)).sum() > 50  # pred blue

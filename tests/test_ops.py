@@ -258,3 +258,65 @@ def test_ce_lovasz_compact_exact():
         lambda lg: ce_lovasz_compact(lg, labels, valid, 256))(logits)
     np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_dense),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_ms_ssim_torch_oracle():
+    """ops/msssim.py vs an INDEPENDENT torch implementation of the same
+    published algorithm (Wang et al. MS-SSIM with torchmetrics defaults:
+    gaussian 11/1.5, valid conv, k1/k2 .01/.03, betas 5-scale, pad-to-even
+    + 2x avgpool between scales, relu normalization). torchmetrics itself
+    is not installed in this image; this pins the jax implementation
+    against a second numerical path in fp64 (VERDICT round-2 item 7)."""
+    import torch
+    import torch.nn.functional as F
+    from vampire_tpu.ops.msssim import ms_ssim
+
+    def torch_msssim(x, y, data_range=1.0, ks=11, sigma=1.5,
+                     betas=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333),
+                     k1=0.01, k2=0.03):
+        # x, y: (B, C, H, W) float64
+        ax = torch.arange(ks, dtype=torch.float64) - (ks - 1) / 2
+        g = torch.exp(-(ax ** 2) / (2 * sigma ** 2))
+        g = (g / g.sum())
+        C = x.shape[1]
+        kh = g.view(1, 1, ks, 1).repeat(C, 1, 1, 1)
+        kw = g.view(1, 1, 1, ks).repeat(C, 1, 1, 1)
+
+        def blur(t):
+            t = F.conv2d(t, kh, groups=C)
+            return F.conv2d(t, kw, groups=C)
+
+        c1, c2 = (k1 * data_range) ** 2, (k2 * data_range) ** 2
+        mcs, ssim_v = [], None
+        for i in range(len(betas)):
+            mx, my = blur(x), blur(y)
+            sx = blur(x * x) - mx * mx
+            sy = blur(y * y) - my * my
+            sxy = blur(x * y) - mx * my
+            cs = (2 * sxy + c2) / (sx + sy + c2)
+            ssim_map = (2 * mx * my + c1) / (mx * mx + my * my + c1) * cs
+            ssim_v = ssim_map.mean(dim=(1, 2, 3))
+            mcs.append(cs.mean(dim=(1, 2, 3)))
+            if i < len(betas) - 1:
+                ph, pw = x.shape[2] % 2, x.shape[3] % 2
+                x = F.pad(x, (0, pw, 0, ph))
+                y = F.pad(y, (0, pw, 0, ph))
+                x = F.avg_pool2d(x, 2)
+                y = F.avg_pool2d(y, 2)
+        mcs_t = torch.stack([m.clamp(min=0) for m in mcs[:-1]])
+        ssim_v = ssim_v.clamp(min=0)
+        b = torch.tensor(betas, dtype=torch.float64)
+        return (torch.prod(mcs_t ** b[:-1, None], dim=0)
+                * ssim_v ** b[-1]).mean()
+
+    rng = np.random.RandomState(7)
+    for trial, (h, w) in enumerate(((192, 200), (176, 176))):
+        x = rng.rand(2, h, w, 3).astype(np.float32)
+        # correlated pair (realistic SSIM regime), clipped to [0, 1]
+        y = np.clip(x + rng.randn(2, h, w, 3).astype(np.float32) * 0.08,
+                    0, 1)
+        got = float(ms_ssim(jnp.asarray(x), jnp.asarray(y)))
+        want = float(torch_msssim(
+            torch.from_numpy(x).permute(0, 3, 1, 2).double(),
+            torch.from_numpy(y).permute(0, 3, 1, 2).double()))
+        assert abs(got - want) < 2e-5, (trial, got, want)

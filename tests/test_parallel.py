@@ -111,3 +111,24 @@ def test_dryrun_multichip_16_devices():
     (scaling study; the subprocess bootstraps its own 16-device CPU jax)."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(16)
+
+
+@pytest.mark.slow
+def test_two_process_dryrun_matches_single_process():
+    """Multi-HOST analog: 2 processes x 4 CPU devices each run the full
+    sharded train step over one global (dp=4 x cam=2) mesh with per-process
+    loader blocks + make_array_from_process_local_data assembly + an
+    all_gather_object round-trip (scripts/dryrun_multiproc.py;
+    torch_dist.py:8-43 / base_cli.py:105 parity). The global loss must
+    equal the single-process 8-device dryrun bit-for-bit — the batch and
+    math are identical, only the controller count changes."""
+    import re
+    import sys
+    sys.path.insert(0, '/root/repo/scripts')
+    import dryrun_multiproc as M
+    out = M.launch(2, 4)
+    assert 'dryrun_multiproc ok' in out, out
+    loss = float(re.search(r'total_loss=([0-9.]+)', out).group(1))
+    # pinned against __graft_entry__.dryrun_multichip(8) (same tiny config,
+    # same seed, same dp=4 x cam=2 mesh): 47.6782
+    assert abs(loss - 47.6782) < 2e-3, loss

@@ -214,20 +214,19 @@ def _interp_matrix(in_size: int, out_size: int):
 def build_neighborhood_table(vol: jnp.ndarray) -> jnp.ndarray:
     """(D, H, W, C) -> ((D+1)*(H+1)*(W+1), 2, 2, 2, C) corner-block table.
 
-    Row (bz, by, bx) holds the 2x2x2 block of the zero-padded volume rooted at
-    original coords (bz-1, by-1, bx-1) — every possible trilinear footprint,
-    including ones straddling the border (zeros padding).
+    Row (bz, by, bx) holds the 2x2x2 block of the zero-padded volume rooted
+    at original coords (bz-1, by-1, bx-1) — every possible trilinear
+    footprint, including ones straddling the border (zeros padding). Row
+    layout is [c000|c001|...|c111] in (dz, dy, dx)-major corner order.
+
+    Construction is delegated to ops.pallas_tables.corner_table (selectable
+    pairwise-interleave / 8-way-concat / Pallas streaming variants, all
+    byte-identical; the build is ~25 ms/frame at flagship shapes so its
+    lowering matters).
     """
+    from ..ops.pallas_tables import corner_table
     D, H, W, C = vol.shape
-    p = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    # last-axis concat in (dz, dy, dx) major->minor corner order: the row
-    # layout [c000|c001|c010|...|c111] is identical to the former
-    # (2,2,2,C)-transpose formulation, but lowers to 8 lane-friendly fused
-    # copies instead of a minor-axis transpose (measured ~15x faster at the
-    # flagship's (20,256,256,22) volume).
-    parts = [p[k:k + D + 1, i:i + H + 1, j:j + W + 1]
-             for k in (0, 1) for i in (0, 1) for j in (0, 1)]
-    t = jnp.concatenate(parts, axis=-1)
+    t = corner_table(vol)
     return t.reshape((D + 1) * (H + 1) * (W + 1), 2, 2, 2, C)
 
 
@@ -342,21 +341,10 @@ def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
     lead = coords.shape[:-1]
     c = coords.reshape(-1, 3)
     P = c.shape[0]
-    dt = jnp.result_type(depth_vol, feat)
-    # depth corner-block table ((D+1)(H+1)(W+1), 8) via minor-axis concat
-    dp = jnp.pad(depth_vol.astype(dt)[..., None], ((1, 1), (1, 1), (1, 1),
-                                                   (0, 0)))
-    dtab = jnp.concatenate([dp[k:k + D + 1, i:i + H + 1, j:j + W + 1]
-                            for k in (0, 1) for i in (0, 1) for j in (0, 1)],
-                           axis=-1)                  # (D+1, H+1, W+1, 8)
-    dtab = dtab.reshape(D + 1, (H + 1) * (W + 1), 8)
-    # feature 2x2 block table over (H+1)(W+1), tiled across D+1
-    fp = jnp.pad(feat.astype(dt), ((1, 1), (1, 1), (0, 0)))
-    fblk = jnp.concatenate([fp[i:i + H + 1, j:j + W + 1]
-                            for i in (0, 1) for j in (0, 1)], axis=-1)
-    fblk = fblk.reshape(1, (H + 1) * (W + 1), 4 * C)
-    ftab = jnp.broadcast_to(fblk, (D + 1,) + fblk.shape[1:])
-    flat = jnp.concatenate([dtab, ftab], axis=-1)    # (D+1, HW1, 8 + 4C)
+    # fused [depth 2x2x2 | feat 2x2] row table; construction delegated to
+    # ops.pallas_tables.lift_table (selectable variants, byte-identical)
+    from ..ops.pallas_tables import lift_table
+    flat = lift_table(depth_vol, feat)
     flat = flat.reshape((D + 1) * (H + 1) * (W + 1), 8 + 4 * C)
 
     bx, ax = _axis_window_weights(c[:, 0], W, align_corners, False)
