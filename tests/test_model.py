@@ -110,3 +110,26 @@ def test_decode_shapes(setup):
         assert d['bboxes'].shape == (1, cfg.head.max_num, 9)
         assert d['scores'].shape == (1, cfg.head.max_num)
         assert d['valid'].dtype == jnp.bool_
+
+
+def test_coverage_diagnostics_sown(setup):
+    """ADVICE r2: the block-compacted lift and the early-termination ray
+    sampler sow coverage-violation counters under the 'diagnostics'
+    collection, so rigs/scenes outside the measured margins are detectable
+    instead of silently degraded. On the synthetic rig both must be 0."""
+    cfg, model, batch, mats, variables, fwd, fo, preds = setup
+    # enable early termination at tiny shapes: S=7 samples, chunk 4 ->
+    # 2 passes, prefix 1, one post-sort pass with full cap (exact)
+    bc = dataclasses.replace(cfg.backbone, ray_et_chunk=4, ray_et_prefix=1,
+                             ray_et_fracs=(1.0,))
+    model2 = Vampire(bc, cfg.head, dtype=jnp.float32)
+    (fo2, _), aux = model2.apply(
+        variables, batch['imgs'], mats, points=batch['points'], train=False,
+        mutable=['diagnostics'])
+    diags = aux['diagnostics']['backbone']
+    assert int(diags['lift_dropped_blocks'][0]) == 0
+    assert int(diags['ray_et_uncovered_drops'][0]) == 0
+    # the full-cap ET forward matches the dense forward
+    np.testing.assert_allclose(np.asarray(fo2['depth_preds']),
+                               np.asarray(fo['depth_preds']),
+                               rtol=2e-4, atol=2e-4)

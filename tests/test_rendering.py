@@ -337,3 +337,64 @@ def test_earlyterm_rays_match_dense():
     for a, b in zip(want, got[:3]):
         err = np.max(np.abs(np.asarray(a) - np.asarray(b)))
         assert err <= np.exp(-tau) * scale, (err, np.exp(-tau) * scale)
+
+
+def test_flagship_ray_et_caps_cover_scene_family():
+    """The shipped early-termination cap schedule (BackboneConfig.
+    ray_et_fracs) covers the worst-case demand of the scripts/ray_et_study.py
+    scene family: at every post-sort pass, the fraction of rays still active
+    (in-field) AND unsaturated (carried optical depth < tau) must fit under
+    the cap — so every ray the schedule drops carries the exp(-tau) error
+    bound. Uses one rig seed x 4 scenes (the full study sweeps 3 rigs)."""
+    import sys
+    sys.path.insert(0, '/root/repo/scripts')
+    from ray_et_study import build_scene
+    from vampire_tpu.configs import flagship_config
+    from vampire_tpu.core import geometry as G
+    from vampire_tpu.data.synthetic import camera_rig
+
+    cfg = flagship_config()
+    c = cfg.backbone
+    frustum = jnp.asarray(G.make_frustum(c.final_dim, c.downsample_factor,
+                                         c.d_bound))
+    Sn = frustum.shape[0] - 1
+    chunk, prefix, tau = c.ray_et_chunk, c.ray_et_prefix, c.ray_et_tau
+    n_et = -(-Sn // chunk) - prefix
+    assert len(c.ray_et_fracs) == n_et
+
+    rig = camera_rig(1, 6, c.final_dim, seed=0)
+    geom = np.asarray(G.get_geometry(
+        frustum, jnp.asarray(rig['sensor2ego']), jnp.asarray(rig['intrin']),
+        jnp.asarray(rig['ida']), jnp.asarray(rig['bda'])))[0]
+    Z, Y, X = c.grid_zyx('seg')
+    norm = np.stack([
+        (geom[..., 0] - c.x_bound_seg[0]) / (c.x_bound_seg[1] - c.x_bound_seg[0]) * 2 - 1,
+        (geom[..., 1] - c.y_bound_seg[0]) / (c.y_bound_seg[1] - c.y_bound_seg[0]) * 2 - 1,
+        (geom[..., 2] - c.z_bound_seg[0]) / (c.z_bound_seg[1] - c.z_bound_seg[0]) * 2 - 1,
+    ], axis=-1)[:, :-1][:, :, ::2, ::2]
+    delta = np.linalg.norm(geom[:, 1:] - geom[:, :-1], axis=-1)[:, :, ::2, ::2]
+    coords = np.moveaxis(norm, 1, 3).reshape(-1, Sn, 3)
+    dl = np.moveaxis(delta, 1, 3).reshape(-1, Sn)
+    valid = (np.abs(coords) <= 1.0).all(-1)
+    L = np.where(valid.any(1), Sn - valid[:, ::-1].argmax(1), 0)
+
+    rng = np.random.RandomState(0)
+    from vampire_tpu.core import rendering as RR
+    for kind in ('open', 'suburb', 'urban', 'fog'):
+        sdf = build_scene(kind, rng, Z, Y, X, c.z_bound_seg, c.y_bound_seg,
+                          c.x_bound_seg)
+        ix = np.clip(np.rint((coords[..., 0] + 1) / 2 * (X - 1)), 0,
+                     X - 1).astype(np.int64)
+        iy = np.clip(np.rint((coords[..., 1] + 1) / 2 * (Y - 1)), 0,
+                     Y - 1).astype(np.int64)
+        iz = np.clip(np.rint((coords[..., 2] + 1) / 2 * (Z - 1)), 0,
+                     Z - 1).astype(np.int64)
+        samp = sdf[iz, iy, ix] * valid
+        dens = np.asarray(RR.laplace_density(jnp.asarray(samp), 0.1,
+                                             c.sdf_bias))
+        sd = np.cumsum(dens * dl, axis=1)
+        for j in range(n_et):
+            s_j = prefix * chunk + j * chunk
+            demand = ((L > s_j) & (sd[:, s_j - 1] < tau)).mean()
+            cap = c.ray_et_fracs[j]
+            assert demand * 1.05 <= cap + 1e-9, (kind, j, demand, cap)

@@ -277,6 +277,16 @@ class FieldBackbone(nn.Module):
         coords_bm = block_major(coords, (3,))
         valid_bm = block_major(valid, ())
         counts = jnp.sum(valid_bm, axis=-1)                      # (B, N, G)
+        # coverage diagnostic (ADVICE r2): number of blocks holding valid
+        # queries that the top-k selection DROPS — nonzero means a camera
+        # rig outside the measured coverage margin silently loses
+        # contributions. Sown under 'diagnostics' (free unless requested:
+        # model.apply(..., mutable=['diagnostics'])).
+        nonzero = jnp.sum((counts > 0).astype(jnp.int32), axis=-1)  # (B, N)
+        sel_vals, _ = jax.lax.top_k(counts, topk)                   # (B,N,K)
+        sel_nonzero = jnp.sum((sel_vals > 0).astype(jnp.int32), axis=-1)
+        self.sow('diagnostics', 'lift_dropped_blocks',
+                 jnp.sum(nonzero - sel_nonzero))
 
         def lift_one(n, acc):
             numer, denom = acc
@@ -414,14 +424,23 @@ class FieldBackbone(nn.Module):
             sampler = functools.partial(
                 R.sample_and_composite_rays_earlyterm, chunk=c.ray_et_chunk,
                 prefix=c.ray_et_prefix, caps_fracs=c.ray_et_fracs,
-                tau=c.ray_et_tau)
+                tau=c.ray_et_tau, return_diag=True)
         else:
             sampler = R.sample_and_composite_rays
-        rgb_p, seg_p, depth_p = jax.vmap(
+        outs = jax.vmap(
             lambda t, cc, vv, dd: sampler(
                 t, (Zs, Ys, Xs), K, cc, vv, dd, self.camera_mids,
                 self._density, c.d_bound[1]))(tables, coords_r, valid_r,
                                               delta_r)
+        rgb_p, seg_p, depth_p = outs[:3]
+        if use_et:
+            # coverage diagnostic (ADVICE r2): rays dropped by the static
+            # cap schedule while still active and unsaturated (sd < tau) —
+            # nonzero means the schedule's scene-family assumption was
+            # violated and the bounded-error claim does not cover this
+            # input. Sown under 'diagnostics'.
+            self.sow('diagnostics', 'ray_et_uncovered_drops',
+                     jnp.sum(outs[3]))
         rgb_p = rgb_p.reshape(B, N, fh, fw, 3)
         seg_p = seg_p.reshape(B, N, fh, fw, K)
         depth_p = depth_p.reshape(B, N, fh, fw)
