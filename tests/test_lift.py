@@ -71,7 +71,7 @@ def _bda_mat(rot_deg, scale, flip_x, flip_y):
 def test_flagship_block_coverage_margin():
     """Worst-case live 8x8 blocks per camera stays well under K=448."""
     bc = flagship_config().backbone
-    assert bc.lift_block == 8 and bc.lift_block_topk == 448
+    assert bc.lift_block == 8 and bc.lift_block_topk == 288
     Z, Y, X = bc.grid_zyx('seg')
     vox = jnp.asarray(G.make_voxel_coords(bc.x_bound_seg, bc.y_bound_seg,
                                           bc.z_bound_seg))
@@ -100,5 +100,5 @@ def test_flagship_block_coverage_margin():
     for rot, sc, fx, fy in draws:
         bda = jnp.asarray(_bda_mat(rot, sc, fx, fy))[None]
         worst = max(worst, int(live_blocks(bda)))
-    # >=10% headroom below the configured top-k
-    assert worst <= int(bc.lift_block_topk * 0.9), worst
+    # >=25% headroom below the configured top-k
+    assert int(worst * 1.25) <= bc.lift_block_topk, worst

@@ -1,0 +1,58 @@
+"""Serving surface: micro-batched queue correctness + TCP round-trip."""
+import numpy as np
+import pytest
+
+from vampire_tpu.data.synthetic import synthetic_batch, tiny_config
+from vampire_tpu.serving import InferenceServer, TcpClient, serve_tcp
+
+
+@pytest.fixture(scope='module')
+def server():
+    cfg = tiny_config()
+    srv = InferenceServer(cfg, max_batch=2, max_wait_ms=20,
+                          with_det=True).warmup().start()
+    yield srv
+    srv.stop()
+
+
+def _sample(cfg, seed):
+    b = synthetic_batch(cfg, batch_size=1, n_points=cfg.train.max_points,
+                        seed=seed, mode='val')
+    return {k: np.asarray(v)[0] for k, v in b.items() if k != 'meta'}
+
+
+def test_single_and_batched_requests_match(server):
+    cfg = server.cfg
+    s0, s1 = _sample(cfg, 1), _sample(cfg, 2)
+    # sequential (each its own padded batch)
+    r0 = server.infer(s0)
+    # concurrent pair (should merge into one micro-batch)
+    f0, f1 = server.submit(s0), server.submit(s1)
+    r0b, r1 = f0.result(timeout=300), f1.result(timeout=300)
+    assert server.stats['requests'] >= 3
+    for k in ('occ_logits', 'pts_logits', 'depth_preds'):
+        assert np.isfinite(r0[k]).all()
+        # same sample -> identical output whether padded-solo or batched
+        np.testing.assert_allclose(r0[k], r0b[k], rtol=2e-4, atol=2e-4)
+        assert r1[k].shape == r0[k].shape
+    # detection output present and finite: (boxes (M,9), scores, labels)
+    boxes, scores, labels = r0['det']
+    assert boxes.shape[1] == 9 and np.isfinite(boxes).all()
+    assert scores.shape == labels.shape
+    d = r0['depth_preds']
+    lo, hi = cfg.backbone.d_bound[:2]
+    assert (d >= lo - 1e-3).all() and (d <= hi + 1e-3).all()
+
+
+def test_tcp_roundtrip(server):
+    cfg = server.cfg
+    srv = serve_tcp(server)
+    try:
+        host, port = srv.server_address
+        cl = TcpClient(host, port)
+        out = cl.infer(_sample(cfg, 3))
+        assert np.isfinite(out['pts_logits']).all()
+        assert out['seg_preds'].shape == (6, *cfg.backbone.final_dim)
+        cl.close()
+    finally:
+        srv.shutdown()

@@ -89,16 +89,18 @@ class BackboneConfig:
     occ_voxel_size: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     occ_grid: Tuple[int, int, int] = (200, 200, 16)
     # Block-compacted lifting (TPU perf): gather only the top-K live 8x8
-    # (Y, X) voxel blocks per camera instead of all Z*Y*X queries. A camera
-    # sees <~35% of the ego grid (<=120deg FOV wedge of the 102.4m square +
-    # boundary blocks), so K=448 of 1024 blocks covers every visible block
-    # with >25% margin (tests/test_lift.py::
-    # test_flagship_block_coverage_margin asserts coverage); blocks beyond
-    # K (impossible under that margin) would degrade gracefully — the voxel
-    # simply loses that camera's contribution in the masked mean, exactly as
-    # if out of view. 0 disables (dense gather over the full grid).
+    # (Y, X) voxel blocks per camera instead of all Z*Y*X queries. Measured
+    # worst case over 3 camera rigs x the full reference bda range: 208 of
+    # 1024 blocks hold any valid query (a <=120deg FOV wedge of the 102.4m
+    # square + boundary blocks); K=288 keeps a 1.38x margin
+    # (tests/test_lift.py::test_flagship_block_coverage_margin asserts it,
+    # and field._lift_compact sows a 'diagnostics' counter of dropped live
+    # blocks so out-of-family rigs are detectable). Blocks beyond K would
+    # degrade gracefully — the voxel simply loses that camera's contribution
+    # in the masked mean, exactly as if out of view. 0 disables (dense
+    # gather over the full grid).
     lift_block: int = 8
-    lift_block_topk: int = 448
+    lift_block_topk: int = 288
     # Length-sorted ray compaction: rays exit the convex field once and never
     # re-enter, so the gather-worthy samples of every ray are a prefix
     # [0, L). Rays are sorted by L descending and the sample axis is
