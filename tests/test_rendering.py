@@ -340,12 +340,15 @@ def test_earlyterm_rays_match_dense():
 
 
 def test_flagship_ray_et_caps_cover_scene_family():
-    """The shipped early-termination cap schedule (BackboneConfig.
-    ray_et_fracs) covers the worst-case demand of the scripts/ray_et_study.py
-    scene family: at every post-sort pass, the fraction of rays still active
-    (in-field) AND unsaturated (carried optical depth < tau) must fit under
-    the cap — so every ray the schedule drops carries the exp(-tau) error
-    bound. Uses one rig seed x 4 scenes (the full study sweeps 3 rigs)."""
+    """The documented OPT-IN early-termination cap schedule (configs.py
+    ray_et_fracs comment; default is off — measured 54 ms/frame slower on
+    TPU, scripts/perf_r3_variants.py) covers the worst-case demand of the
+    scripts/ray_et_study.py scene family: at every post-sort pass, the
+    fraction of rays still active (in-field) AND unsaturated (carried
+    optical depth < tau) must fit under the cap — so every ray the schedule
+    drops carries the exp(-tau) error bound. Uses one rig seed x 4 scenes
+    (the full study sweeps 3 rigs)."""
+    import dataclasses
     import sys
     sys.path.insert(0, '/root/repo/scripts')
     from ray_et_study import build_scene
@@ -354,7 +357,8 @@ def test_flagship_ray_et_caps_cover_scene_family():
     from vampire_tpu.data.synthetic import camera_rig
 
     cfg = flagship_config()
-    c = cfg.backbone
+    c = dataclasses.replace(
+        cfg.backbone, ray_et_fracs=(0.71, 0.47, 0.37, 0.14, 0.06, 0.03))
     frustum = jnp.asarray(G.make_frustum(c.final_dim, c.downsample_factor,
                                          c.d_bound))
     Sn = frustum.shape[0] - 1

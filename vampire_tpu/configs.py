@@ -130,19 +130,25 @@ class BackboneConfig:
     # optical depth (exited-field rays last — their tail is exact closed-form
     # fog), and the remaining passes run on shrinking static ray counts
     # ceil(frac * rays). A dropped ray's remaining contribution is bounded by
-    # exp(-sd_at_drop); the default schedule keeps every ray with sd < tau
-    # (trans > exp(-7) ~ 1e-3) on the measured worst case of the
-    # scripts/ray_et_study.py scene family (sky-heavy, fog-init, trained-
-    # sharp) with margin — rays the schedule drops are saturated, so the
-    # output error is < ~1e-3 of value scale (tests/test_rendering.py pins
-    # both the exactness path and the error bound). Empty tuple disables
-    # (dense sampler, bit-exact reference semantics).
-    # Default schedule: scripts/ray_et_study.py worst-case demand over the
-    # scene family (max over open/suburb/urban/fog x 3 rigs) +10% margin,
-    # rounded up — 0.53x the dense gather rows incl. the dense prefix.
+    # exp(-sd_at_drop); with the studied schedule every ray with sd < tau
+    # (trans > exp(-7) ~ 1e-3) is kept on the measured worst case of the
+    # scripts/ray_et_study.py scene family, so the output error is
+    # < ~1e-3 of value scale (tests/test_rendering.py pins both the
+    # exactness path and the error bound).
+    #
+    # DEFAULT OFF (empty fracs = dense sampler, bit-exact reference
+    # semantics): measured on the real chip the schedule below LOSES 54
+    # ms/frame (200 -> 254 ms, scripts/perf_r3_variants.py) despite cutting
+    # gather rows to 0.53x — the TPU row-gather is latency-bound and ~5x
+    # faster on spatially COHERENT row streams than on permuted ones
+    # (scripts/perf_r3_fp8_gather.py), and the transmittance sort destroys
+    # exactly that coherence, like the length-sorted compaction did for
+    # inference in round 2. Kept as an opt-in for sparser-scene workloads:
+    # set ray_et_fracs=(0.71, 0.47, 0.37, 0.14, 0.06, 0.03) (the
+    # ray_et_study.py worst-case schedule +10% margin).
     ray_et_chunk: int = 12
     ray_et_prefix: int = 2
-    ray_et_fracs: Tuple[float, ...] = (0.71, 0.47, 0.37, 0.14, 0.06, 0.03)
+    ray_et_fracs: Tuple[float, ...] = ()
     ray_et_tau: float = 7.0
 
     @property

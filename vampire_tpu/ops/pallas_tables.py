@@ -159,7 +159,7 @@ def _corner_table_bwd_impl(shape_dtype, g):
 
 def _xla_variant() -> str:
     import os
-    return os.environ.get('VAMPIRE_TABLE_BUILD', 'pairwise')
+    return os.environ.get('VAMPIRE_TABLE_BUILD', '8way')
 
 
 @jax.custom_vjp
@@ -167,9 +167,13 @@ def corner_table(vol: jnp.ndarray) -> jnp.ndarray:
     """(D, H, W, C) -> (D+1, H+1, W+1, 8*C) corner-block table.
 
     Construction variant by env: Pallas streaming build (opt-in, see
-    _use_pallas), else VAMPIRE_TABLE_BUILD = 'pairwise' (default; measured
-    faster on TPU v5e) | 'concat8'. All variants are byte-identical
-    (tests/test_tables.py)."""
+    _use_pallas), else VAMPIRE_TABLE_BUILD = '8way' (default) | 'pairwise'.
+    All variants are byte-identical (tests/test_tables.py). The full-model
+    A/B at the shipped flagship config has the 8-way concat ahead: 6.41 vs
+    6.18 fps pipelined / 179.9 vs 185.7 ms single-frame (bench.py, ET off,
+    lift topk 288); an earlier isolated sweep favored pairwise, but the
+    in-graph fusion context decides, so the default follows the full-model
+    measurement."""
     if _use_pallas():
         return _corner_table_pallas(vol)
     if _xla_variant() == 'pairwise':
