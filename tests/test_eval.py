@@ -58,6 +58,30 @@ def test_apply_circle_nms_merges_tasks():
     assert len(scores) == len(labels) == len(boxes)
     # labels got the cross-task offset: last task starts at 8
     assert labels.max() >= 8
+
+
+def test_rotate_nms_pre_max_size_cap():
+    """get_task_detections' pre_max_size score cap before rotated NMS
+    (mmdet3d CenterHead semantics behind bev_depth_head.py:473-475): with
+    pre_max_size=4, only the 4 highest-scoring boxes enter NMS, so a
+    low-scoring far-away box that would otherwise survive is dropped."""
+    import dataclasses
+    cfg = dataclasses.replace(HeadConfig(), nms_type='rotate',
+                              nms_pre_max_size=4)
+    K = 6
+    boxes = np.zeros((1, K, 9), np.float32)
+    # 6 well-separated boxes; scores descending with index
+    boxes[0, :, 0] = np.arange(K) * 20.0
+    boxes[0, :, 3:6] = 1.0
+    scores = np.linspace(0.9, 0.4, K, dtype=np.float32)[None]
+    decoded = [dict(bboxes=boxes, scores=scores,
+                    labels=np.zeros((1, K), np.int32),
+                    valid=np.ones((1, K), bool))]
+    decoded = decoded * len(cfg.tasks)
+    out_boxes, out_scores, _ = apply_circle_nms(decoded, cfg, 0)
+    per_task = len(out_scores) // len(cfg.tasks)
+    assert per_task == 4                    # capped from 6
+    assert out_scores.min() >= 0.59         # the two lowest never entered
     assert len(boxes) <= cfg.nms_post_max_size * len(cfg.tasks)
 
 

@@ -183,7 +183,15 @@ def apply_circle_nms(decoded_tasks: List[dict], cfg, batch_index: int
                               post_max_size=cfg.nms_post_max_size)
         elif cfg.nms_type == 'rotate':
             # rotated-BEV-IoU NMS (bev_depth_head.py:473-475 via mmdet3d
-            # CenterHead.get_task_detections / nms_gpu)
+            # CenterHead.get_task_detections / nms_gpu). score_threshold and
+            # post_center_range are already applied on device by
+            # decode_preds' valid mask (centerpoint_head.py); here the
+            # remaining get_task_detections semantics: the pre_max_size
+            # score cap before NMS (vacuous at shipped configs where
+            # decode max_num <= pre_max_size, but kept for parity).
+            if len(scores) > cfg.nms_pre_max_size:
+                top = np.argsort(-scores)[:cfg.nms_pre_max_size]
+                boxes, scores, labels = boxes[top], scores[top], labels[top]
             keep = rotated_nms(boxes[:, [0, 1, 3, 4, 6]], scores,
                                float(cfg.nms_thr),
                                post_max_size=cfg.nms_post_max_size)
