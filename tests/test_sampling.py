@@ -4,6 +4,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from vampire_tpu.core import sampling as S
@@ -145,6 +146,43 @@ def test_grid_sample_fused_matches_reference():
                                                     jnp.asarray(coords), ac,
                                                     padding, chunk=256))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_padded_table_sampling_bit_exact():
+    """Lane-alignment channel padding (BackboneConfig.table_pad_channels):
+    sampling through a zero-channel-padded corner table is BIT-identical to
+    the unpadded table — the pad contributes exactly 0 to the fp32 weighted
+    sum and is sliced off."""
+    from vampire_tpu.core import rendering as R
+    rng = np.random.RandomState(21)
+    vol = rng.randn(5, 9, 11, 22).astype(np.float32)
+    vol_p = np.concatenate(
+        [vol, np.zeros((5, 9, 11, 10), np.float32)], axis=-1)
+    tab = S.build_neighborhood_table(jnp.asarray(vol))
+    tab_p = S.build_neighborhood_table(jnp.asarray(vol_p))
+
+    coords = _rand_coords(700, seed=22)
+    want = np.asarray(S.grid_sample_3d_fused(
+        jnp.asarray(vol), jnp.asarray(coords), True, 'zeros', chunk=256,
+        table=tab))
+    got = np.asarray(S.grid_sample_3d_fused(
+        jnp.asarray(vol), jnp.asarray(coords), True, 'zeros', chunk=256,
+        table=tab_p))
+    np.testing.assert_array_equal(got, want)
+
+    # ray sampler: same bit-exactness through compositing
+    Rr, Sn, K = 64, 7, 18
+    cc = jnp.asarray(_rand_coords(Rr * Sn, seed=23).reshape(Rr, Sn, 3))
+    valid = jnp.asarray((rng.rand(Rr, Sn) > 0.2).astype(np.float32))
+    dl = jnp.asarray(rng.rand(Rr, Sn).astype(np.float32) + 0.5)
+    mids = jnp.asarray(np.linspace(2.0, 70.0, Sn).astype(np.float32))
+    dens = lambda x: jax.nn.sigmoid(x)
+    a = R.sample_and_composite_rays(tab, (5, 9, 11), K, cc, valid, dl,
+                                    mids, dens, 70.4, chunk_rays=32)
+    b = R.sample_and_composite_rays(tab_p, (5, 9, 11), K, cc, valid, dl,
+                                    mids, dens, 70.4, chunk_rays=32)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_sample_outer_product_fused_matches():

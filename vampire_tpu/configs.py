@@ -101,6 +101,17 @@ class BackboneConfig:
     # gather over the full grid).
     lift_block: int = 8
     lift_block_topk: int = 288
+    # Lane-aligned fused-field table rows: pad the fused channels with zeros
+    # so table rows are whole 128-lane tiles (e.g. 32 -> 8*32 = 256 ch =
+    # 512 B rows vs the natural C = 1+K+3 = 22 -> 352 B = 2.75 tiles).
+    # Exact: pad channels are zero and sliced off after the weighted sum
+    # (tests/test_sampling.py::test_padded_table_sampling_bit_exact).
+    # DEFAULT OFF: isolated build+take measured ~10% faster aligned
+    # (scripts/perf_r3_alignment.py), but the full model is NEUTRAL (6.428
+    # vs 6.403 fps, within run noise) — the +45% table bytes offset the
+    # alignment win — and the pad grows the HBM-resident table 444->645 MB,
+    # which matters at batch > 1. Must be >= 1+num_classes+3 when set.
+    table_pad_channels: int = 0
     # Length-sorted ray compaction: rays exit the convex field once and never
     # re-enter, so the gather-worthy samples of every ray are a prefix
     # [0, L). Rays are sorted by L descending and the sample axis is

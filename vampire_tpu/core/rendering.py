@@ -138,6 +138,10 @@ def sample_and_composite_rays(table: jnp.ndarray,
     K = num_classes
     C = 1 + K + 3
     flat = table.reshape(table.shape[0], -1)
+    # Ct >= C when the table carries lane-alignment channel padding
+    # (BackboneConfig.table_pad_channels); the zero pad is sliced off after
+    # the (exact) weighted sum.
+    Ct = flat.shape[1] // 8
     R, S_n = coords.shape[:2]
     pad = (-R) % chunk_rays
     coords_p = jnp.pad(coords, ((0, pad), (0, 0), (0, 0)))
@@ -151,9 +155,9 @@ def sample_and_composite_rays(table: jnp.ndarray,
         cc, val, dl = args                       # (cr, S, 3), (cr, S), (cr, S)
         rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
                                          True, False)
-        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
         samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
-        samp = samp.reshape(chunk_rays, S_n, C) * val[..., None]
+        samp = samp.reshape(chunk_rays, S_n, Ct)[..., :C] * val[..., None]
         sdf = samp[..., 0]
         seg = samp[..., 1:K + 1]
         rgb = samp[..., K + 1:K + 4]
@@ -219,6 +223,7 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
     K = num_classes
     C = 1 + K + 3
     flat = table.reshape(table.shape[0], -1)
+    Ct = flat.shape[1] // 8   # >= C with lane-alignment channel padding
     R, S_n = coords.shape[:2]
     n_pass = -(-S_n // chunk)
     assert len(pass_fracs) == n_pass, (len(pass_fracs), n_pass)
@@ -248,9 +253,9 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
         kj, sc = vl.shape
         rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
                                          True, False)
-        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
         samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
-        samp = samp.reshape(kj, sc, C) * vl[..., None]
+        samp = samp.reshape(kj, sc, Ct)[..., :C] * vl[..., None]
         sdf = samp[..., 0]
         density = density_fn(sdf)
         sd = density * dl
@@ -355,6 +360,7 @@ def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
     K = num_classes
     C = 1 + K + 3
     flat = table.reshape(table.shape[0], -1)
+    Ct = flat.shape[1] // 8   # >= C with lane-alignment channel padding
     R, S_n = coords.shape[:2]
     n_pass = -(-S_n // chunk)
     assert 0 < prefix <= n_pass
@@ -368,9 +374,9 @@ def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
         kj, sc = vl.shape
         rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
                                          True, False)
-        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, C)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
         samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
-        samp = samp.reshape(kj, sc, C) * vl[..., None]
+        samp = samp.reshape(kj, sc, Ct)[..., :C] * vl[..., None]
         sdf = samp[..., 0]
         density = density_fn(sdf)
         sd = density * dl

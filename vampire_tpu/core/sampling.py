@@ -288,6 +288,11 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
     if table is None:
         table = build_neighborhood_table(vol)
     flat = table.reshape(table.shape[0], -1)
+    # the table may carry zero-padded channels (BackboneConfig.
+    # table_pad_channels: rows padded to full 128-lane tiles, measured
+    # faster to gather); the pad contributes exactly 0 to the weighted sum
+    # and is sliced off below.
+    Ct = flat.shape[1] // 8
 
     rows, w8 = corner_rows_weights(c, (D, H, W), align_corners, border)
 
@@ -298,13 +303,13 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
 
     def one_chunk(args):
         r, w = args
-        t = jnp.take(flat, r, axis=0).reshape(chunk, 8, C)
+        t = jnp.take(flat, r, axis=0).reshape(chunk, 8, Ct)
         return jnp.sum(t.astype(jnp.float32) * w[:, :, None], axis=1)
 
     outs = jax.lax.map(one_chunk,
                        (rows_p.reshape(n_chunks, chunk),
                         w8_p.reshape(n_chunks, chunk, 8)))
-    out = outs.reshape(-1, C)[:P]
+    out = outs.reshape(-1, Ct)[:P, :C]
     return out.reshape(*lead, C).astype(out_dtype)
 
 

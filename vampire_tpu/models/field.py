@@ -509,10 +509,17 @@ class FieldBackbone(nn.Module):
 
         # ONE shared corner-block table of the fused field [sdf | seg | rgb]
         # (bf16, like the reference's fp16-under-AMP sampled volume) serves
-        # the point queries AND the camera-ray sampling
+        # the point queries AND the camera-ray sampling. Channels are
+        # zero-padded to table_pad_channels so rows are whole 128-lane
+        # tiles (exact — the pad is sliced off after the weighted sum;
+        # configs.py table_pad_channels).
         fused = jnp.concatenate([sdf_vol, seg_vol, rgb_vol], axis=-1)
-        tables = jax.vmap(S.build_neighborhood_table)(
-            fused.astype(self.sample_dtype))
+        fused_t = fused.astype(self.sample_dtype)
+        cp = c.table_pad_channels
+        if cp and cp > fused_t.shape[-1]:
+            fused_t = jnp.pad(
+                fused_t, ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
+        tables = jax.vmap(S.build_neighborhood_table)(fused_t)
 
         pts_logits = pts_sdf = None
         if points is not None:
