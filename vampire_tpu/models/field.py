@@ -64,8 +64,12 @@ class FieldBackbone(nn.Module):
     # dtype of the ray-sampling gather table (weights/accum stay fp32)
     sample_dtype: Any = jnp.bfloat16
     # rematerialize the per-camera lift in backward (saves ~1.5GB activations
-    # per batch element at the cost of redoing the lift gathers)
-    lift_remat: bool = True
+    # per batch element at the cost of redoing the lift gathers). Default
+    # OFF since round 3: the flagship B=1 train step fits HBM without it
+    # and the recompute costs a measured 28 ms/step
+    # (scripts/perf_trainstep_ablate.py no_lift_remat); enable for larger
+    # per-device batches or memory-tight meshes.
+    lift_remat: bool = False
 
     def setup(self):
         c = self.cfg

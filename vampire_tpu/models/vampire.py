@@ -20,7 +20,7 @@ class Vampire(nn.Module):
     head_cfg: HeadConfig
     dtype: Any = jnp.bfloat16
     lift_vectorized: bool = False
-    lift_remat: bool = True
+    lift_remat: bool = False
 
     def setup(self):
         self.backbone = FieldBackbone(self.backbone_cfg, dtype=self.dtype,
