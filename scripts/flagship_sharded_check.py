@@ -69,8 +69,10 @@ def main() -> None:
 
     cfg = flagship_config()
     mesh = make_mesh(dp=1, cam=2)
+    # lift_remat on: the flagship backward at full shapes exceeds host RAM
+    # on the virtual-CPU mesh without it (the TPU default is off for speed)
     model = Vampire(cfg.backbone, cfg.head, dtype=jnp.float32,
-                    lift_vectorized=True)
+                    lift_vectorized=True, lift_remat=(args.mode == 'train'))
     batch = synthetic_batch(cfg, batch_size=1,
                             n_points=cfg.train.max_points, seed=3,
                             mode='val' if args.mode == 'fwd' else 'train')
@@ -136,7 +138,7 @@ def main() -> None:
             s = jax.device_put(state, vdst if not sharded
                                else NamedSharding(mesh, P()))
             new_state, metrics = step(s, b)
-            losses[tag] = float(metrics['loss'])
+            losses[tag] = float(metrics['total_loss'])
             delta = jax.tree.map(lambda a, c: jnp.sum((a - c) ** 2),
                                  new_state.params, state.params)
             upd[tag] = float(jnp.sqrt(sum(jax.tree.leaves(delta))))
