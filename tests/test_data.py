@@ -213,6 +213,35 @@ def test_per_camera_ida_augs(fake_nusc):
     assert diff, 'per-camera ida augs should differ across cameras'
 
 
+def test_thread_loader_aug_decorrelation(fake_nusc):
+    """Thread workers (the cli.py default) reseed a per-batch shallow dataset
+    copy, matching _proc_fetch's process-worker semantics: augmentation draws
+    are (a) deterministic for a fixed (seed, rank), (b) decorrelated across
+    ranks processing the same global batch, and (c) fresh per batch."""
+    def loader(rank, world, seed=5):
+        ds = NuscDetSegDataset(
+            ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),
+            classes=list(DET_CLASSES), data_root=str(fake_nusc),
+            info_paths=str(fake_nusc / 'infos_train.pkl'),
+            head_cfg=HeadConfig(), mode='train', max_points=2048, seed=seed)
+        return DataLoader(ds, batch_size=1, shuffle=False, num_workers=2,
+                          prefetch=2, seed=seed, rank=rank, world_size=world)
+
+    # (a) deterministic: same rank -> identical augmentation mats
+    ida_a = [b['ida'] for b in loader(0, 2)]
+    ida_b = [b['ida'] for b in loader(0, 2)]
+    np.testing.assert_allclose(ida_a[0], ida_b[0])
+    # (b) rank-decorrelated: rank 0 and rank 1 share the per-batch seed draw
+    # but mix in the rank, so their aug streams differ (ida mats depend only
+    # on the aug draws, not on which sample is loaded)
+    ida_r1 = [b['ida'] for b in loader(1, 2)]
+    assert not np.allclose(ida_a[0], ida_r1[0])
+    # (c) per-batch fresh draws within one rank
+    single = [b['ida'] for b in loader(0, 1)]
+    assert len(single) == 2
+    assert not np.allclose(single[0], single[1])
+
+
 def test_dataset_val_mode(fake_nusc):
     ds = NuscDetSegDataset(
         ida_aug=IdaAugConfig(), bda_aug=BdaAugConfig(),

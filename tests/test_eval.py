@@ -58,6 +58,7 @@ def test_apply_circle_nms_merges_tasks():
     assert len(scores) == len(labels) == len(boxes)
     # labels got the cross-task offset: last task starts at 8
     assert labels.max() >= 8
+    assert len(boxes) <= cfg.nms_post_max_size * len(cfg.tasks)
 
 
 def test_rotate_nms_pre_max_size_cap():
@@ -82,7 +83,7 @@ def test_rotate_nms_pre_max_size_cap():
     per_task = len(out_scores) // len(cfg.tasks)
     assert per_task == 4                    # capped from 6
     assert out_scores.min() >= 0.59         # the two lowest never entered
-    assert len(boxes) <= cfg.nms_post_max_size * len(cfg.tasks)
+    assert len(out_boxes) <= cfg.nms_post_max_size * len(cfg.tasks)
 
 
 def test_det_submission_roundtrip(tmp_path):

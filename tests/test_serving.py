@@ -44,6 +44,31 @@ def test_single_and_batched_requests_match(server):
     assert (d >= lo - 1e-3).all() and (d <= hi + 1e-3).all()
 
 
+def test_missing_input_key_raises(server):
+    """A request missing a required input fails loudly (no silent synthetic
+    substitution); a request without 'points' is allowed (camera-only)."""
+    cfg = server.cfg
+    s = _sample(cfg, 4)
+    bad = {k: v for k, v in s.items() if k != 'intrin'}
+    with pytest.raises(KeyError):
+        server.submit(bad).result(timeout=300)
+    no_pts = {k: v for k, v in s.items() if k != 'points'}
+    out = server.submit(no_pts).result(timeout=300)
+    assert np.isfinite(out['occ_logits']).all()
+
+
+def test_stop_fails_queued_requests():
+    """stop() resolves still-queued futures with an error instead of leaving
+    infer() callers blocked forever."""
+    cfg = tiny_config()
+    srv = InferenceServer(cfg, max_batch=1, with_det=False)
+    # never started: submissions sit in the queue
+    fut = srv.submit({})
+    srv.stop()
+    with pytest.raises(RuntimeError, match='stopped'):
+        fut.result(timeout=10)
+
+
 def test_tcp_roundtrip(server):
     cfg = server.cfg
     srv = serve_tcp(server)

@@ -19,6 +19,7 @@ Class-name maps copied semantics (:16-83).
 """
 from __future__ import annotations
 
+import copy
 import os
 import pickle
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -583,9 +584,15 @@ class DataLoader:
                     futures.append(pool.apply_async(_proc_fetch,
                                                     (idxs, aug_seed)))
                 else:
-                    futures.append(pool.submit(
-                        lambda ii: collate([self.dataset[int(i)] for i in ii]),
-                        idxs))
+                    # thread workers share self.dataset, so reseed a shallow
+                    # per-batch copy (shares infos, owns its rng) — same
+                    # per-batch/per-rank aug decorrelation as _proc_fetch,
+                    # race-free under prefetch>1
+                    def fetch(ii, seed):
+                        ds = copy.copy(self.dataset)
+                        ds.rng = np.random.RandomState(seed)
+                        return collate([ds[int(i)] for i in ii])
+                    futures.append(pool.submit(fetch, idxs, aug_seed))
             for bi in range(min(self.prefetch, n_batches)):
                 submit(bi)
             for bi in range(n_batches):

@@ -118,6 +118,14 @@ class InferenceServer:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        # fail anything still queued so blocked infer() callers don't hang
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError('InferenceServer stopped'))
 
     # ------------------------------------------------------------------
     def submit(self, sample: Dict[str, np.ndarray]) -> Future:
@@ -162,8 +170,16 @@ class InferenceServer:
         n = len(reqs)
         batch = {}
         for k in ('imgs', 'sensor2ego', 'intrin', 'ida', 'bda', 'points'):
-            rows = [np.asarray(r[0].get(k, self._example[k][0]))
-                    for r in reqs]
+            rows = []
+            for r in reqs:
+                if k in r[0]:
+                    rows.append(np.asarray(r[0][k]))
+                elif k == 'points':
+                    # camera-only request: zero point cloud (pts_logits in
+                    # the response are then meaningless padding)
+                    rows.append(np.zeros_like(self._example[k][0]))
+                else:
+                    raise KeyError(f"request missing input '{k}'")
             rows += [rows[-1]] * (self.max_batch - n)   # pad: repeat last
             batch[k] = np.stack(rows)
         out = self._fwd(self.variables, batch['imgs'], split_mats(batch),

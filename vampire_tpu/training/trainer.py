@@ -202,6 +202,9 @@ class Trainer:
         """Epoch-end train IoU reports (base_exp.py:851-878): per-class
         lidarseg IoU over classes 1..16 and occupancy IoU over 0..16,
         accumulated on device during training, reported and reset here."""
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return
         cfg = self.cfg
         conf_seg, conf_occ = jax.device_get(conf)
         seg = JaccardIndex(17, ignore_index=0)
