@@ -18,6 +18,9 @@ def main():
     ap.add_argument('--ray-fracs', action='store_true',
                     help='enable the length-sorted compact ray sampler '
                          '(train-mode) with the measured flagship curve')
+    ap.add_argument('--no-ray-remat', action='store_true',
+                    help='store the compact sampler residuals instead of '
+                         're-gathering in backward')
     args = ap.parse_args()
 
     import jax
@@ -31,13 +34,16 @@ def main():
     from vampire_tpu.training.train_state import create_train_state
     from vampire_tpu.training.train_step import build_train_step, split_mats
 
+    import dataclasses
     cfg = flagship_config()
     if args.ray_fracs:
-        import dataclasses
         fr = (1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
         cfg = dataclasses.replace(
             cfg, backbone=dataclasses.replace(cfg.backbone,
                                               ray_pass_fracs=fr))
+    if args.no_ray_remat:
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, ray_remat=False))
     model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
     batch = synthetic_batch(cfg, batch_size=args.batch,
                             n_points=cfg.train.max_points, seed=0,

@@ -206,6 +206,19 @@ def test_compact_rays_match_dense():
                                            rtol=2e-5, atol=2e-5,
                                            err_msg=f'{name} fracs={fracs}')
 
+    # remat=False (store residuals instead of re-gathering in backward) is
+    # bit-identical in value AND gradient to the default remat=True path
+    def loss(tb, remat):
+        outs = R.sample_and_composite_rays_compact(
+            tb, (Z, Y, X), K, prefix_coords, prefix_valid, delta, mids,
+            lambda x: jax.nn.sigmoid(x), 70.4, chunk=8,
+            pass_fracs=(1.0, 0.6), remat=remat)
+        return sum(jnp.sum(o * o) for o in outs)
+    v1, g1 = jax.value_and_grad(loss)(table, True)
+    v2, g2 = jax.value_and_grad(loss)(table, False)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
 
 def test_flagship_ray_pass_coverage_margin():
     """Per-pass sorted-ray capacities cover the worst-case length curve of

@@ -132,6 +132,10 @@ class BackboneConfig:
     # serialized passes cost more than the saved row-latency-bound gather
     # (measured 5.46 -> 4.71 fps), so eval keeps the dense sampler. Empty
     # tuple disables compaction everywhere.
+    # rematerialize each compact-sampler pass in backward (re-gather) vs
+    # storing the gathered/composited residuals (more HBM, skips the
+    # backward re-gather). See the round-3 measurement in rendering.py.
+    ray_remat: bool = True
     ray_chunk: int = 8
     ray_pass_fracs: Tuple[float, ...] = (
         1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)

@@ -191,7 +191,8 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
                                       density_fn,
                                       bg_depth: float,
                                       chunk: int,
-                                      pass_fracs: Tuple[float, ...]
+                                      pass_fracs: Tuple[float, ...],
+                                      remat: bool = True
                                       ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                  jnp.ndarray]:
     """Length-sorted compacted version of `sample_and_composite_rays`.
@@ -271,7 +272,11 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
             [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
             axis=-1)
 
-    one_pass = jax.checkpoint(one_pass)
+    # remat=True re-gathers each pass's rows in backward (minimal memory);
+    # False stores the gathered/composited residuals instead — trades HBM
+    # for skipping the backward re-gather (see BackboneConfig.ray_remat)
+    if remat:
+        one_pass = jax.checkpoint(one_pass)
     for j, kj in enumerate(caps):
         s0 = j * chunk
         s1 = min(S_n, s0 + chunk)

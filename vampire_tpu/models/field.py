@@ -423,7 +423,7 @@ class FieldBackbone(nn.Module):
         if use_compact:
             sampler = functools.partial(
                 R.sample_and_composite_rays_compact, chunk=c.ray_chunk,
-                pass_fracs=c.ray_pass_fracs)
+                pass_fracs=c.ray_pass_fracs, remat=c.ray_remat)
         elif use_et:
             sampler = functools.partial(
                 R.sample_and_composite_rays_earlyterm, chunk=c.ray_et_chunk,
@@ -520,9 +520,14 @@ class FieldBackbone(nn.Module):
         fused = jnp.concatenate([sdf_vol, seg_vol, rgb_vol], axis=-1)
         fused_t = fused.astype(self.sample_dtype)
         cp = c.table_pad_channels
-        if cp and cp > fused_t.shape[-1]:
-            fused_t = jnp.pad(
-                fused_t, ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
+        if cp:
+            if cp < fused_t.shape[-1]:
+                raise ValueError(
+                    f'table_pad_channels={cp} < fused channel count '
+                    f'{fused_t.shape[-1]} (must be >= 1+num_classes+3)')
+            if cp > fused_t.shape[-1]:
+                fused_t = jnp.pad(
+                    fused_t, ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
         tables = jax.vmap(S.build_neighborhood_table)(fused_t)
 
         pts_logits = pts_sdf = None
