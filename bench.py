@@ -42,7 +42,31 @@ import time
 import numpy as np
 
 
+def _require_device(timeout_s: float = 600.0):
+    """Fail fast (instead of hanging forever) if the TPU relay is down:
+    device init on the axon backend retries in a sleep loop indefinitely
+    when the pool grants no chip, which would hang the whole bench."""
+    import threading
+    got = []
+
+    def probe():
+        import jax
+        got.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        import sys
+        print(f'bench: TPU device init did not complete within '
+              f'{timeout_s:.0f}s (relay down / no grant) — aborting',
+              file=sys.stderr, flush=True)
+        import os
+        os._exit(2)
+
+
 def main():
+    _require_device()
     import jax
     import jax.numpy as jnp
     from vampire_tpu.utils.compile_cache import enable_compilation_cache

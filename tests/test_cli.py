@@ -41,6 +41,38 @@ def test_ablation_presets_match_reference(name, variant, weights):
     assert cfg.train.task_weights == (1.0, 1.0, 1.0)
 
 
+@pytest.mark.slow
+def test_cli_debug_fit_and_validate_end_to_end(tmp_path):
+    """The full user entry path (reference --debug, base_cli.py:38-66): cli
+    fit on a fake on-disk nuScenes with the tiny config, checkpoint written,
+    then cli -v restores it and runs validation — exercising argparse ->
+    config -> dataset/loader -> Trainer.fit/validate end to end."""
+    import shutil
+
+    from vampire_tpu import cli
+    from vampire_tpu.data.fake import make_fake_nusc
+    from vampire_tpu.data.synthetic import tiny_config
+
+    cfg = tiny_config()
+    root = tmp_path / 'nusc'
+    make_fake_nusc(root, n_samples=2, n_points=500, seed=0,
+                   image_content='smooth', occ_shape=cfg.backbone.occ_grid)
+    for split in ('train', 'val'):
+        shutil.copy(root / 'infos_train.pkl',
+                    root / f'nuscenes_occ_infos_{split}.pkl')
+    wd = tmp_path / 'out'
+    # --num-devices 1 (reference --gpus 1): single-device mesh keeps the
+    # XLA CPU compile small (the shapes match the other tiny-config tests)
+    common = ['--debug', '-b', '1', '--data-root', str(root),
+              '--workdir', str(wd), '--num-workers', '2',
+              '--num-devices', '1']
+    cli.main(common + ['--max-epochs', '1', '--no-resume'])
+    # Trainer writes under workdir/<exp_name>/checkpoints
+    ckpts = list(wd.glob('*/checkpoints/*'))
+    assert ckpts, f'no checkpoint written under {wd}'
+    cli.main(common + ['-v'])
+
+
 def test_flagship_is_depth_semantic():
     cfg = flagship_config()
     assert cfg.backbone.variant == 'lss_inpaintor'

@@ -42,6 +42,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         'in the workdir')
     p.add_argument('--use-ema', action='store_true')
     p.add_argument('--num-workers', type=int, default=4)
+    p.add_argument('--num-devices', type=int, default=None,
+                   help='use only the first N local devices (reference '
+                        '--gpus, base_cli.py:33); default: all')
     return p
 
 
@@ -68,16 +71,23 @@ def main(argv=None):
         cfg = flagship_config()
     else:
         cfg = ablation_config(args.exp)
+    n_dev = args.num_devices or jax.device_count()
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(
         cfg.train,
         batch_size_per_device=args.batch_size_per_device,
         max_epochs=args.max_epochs,
         data_root=args.data_root,
-        num_devices=jax.device_count(),
+        num_devices=n_dev,
         use_ema=args.use_ema,
         seed=args.seed))
 
-    trainer = Trainer(cfg, workdir=args.workdir)
+    mesh = None
+    if args.num_devices:
+        from .parallel.mesh import make_mesh
+        cam = 2 if (n_dev % 2 == 0 and n_dev > 1) else 1
+        mesh = make_mesh(dp=n_dev // cam, cam=cam,
+                         devices=jax.devices()[:n_dev])
+    trainer = Trainer(cfg, workdir=args.workdir, mesh=mesh)
     data_root = args.data_root
 
     def make_loader(split: str, mode: str, shuffle: bool):
@@ -89,8 +99,10 @@ def main(argv=None):
             ida_aug=cfg.ida_aug, bda_aug=cfg.bda_aug,
             classes=list(DET_CLASSES), data_root=data_root, info_paths=info,
             head_cfg=cfg.head, mode=mode,
-            max_points=cfg.train.max_points, seed=args.seed)
-        global_batch = cfg.train.batch_size_per_device * jax.device_count()
+            max_points=cfg.train.max_points, seed=args.seed,
+            seg_bounds=(cfg.backbone.x_bound_seg, cfg.backbone.y_bound_seg,
+                        cfg.backbone.z_bound_seg))
+        global_batch = cfg.train.batch_size_per_device * n_dev
         # eval/predict must cover EVERY sample (the reference truncates the
         # DDP gather to the dataset length, base_exp.py:920-927); only the
         # train loader drops the ragged tail. Multi-host: each process loads

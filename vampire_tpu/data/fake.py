@@ -27,11 +27,14 @@ def rot_to_quat(r):
 
 
 def make_fake_nusc(root, n_samples: int = 2, n_points: int = 1000,
-                   seed: int = 0, image_content: str = 'noise'):
+                   seed: int = 0, image_content: str = 'noise',
+                   occ_shape=(200, 200, 16)):
     """Build a fake nuScenes tree under `root`; returns the info-pkl path.
 
     image_content='noise' writes uniform-noise JPEGs (worst-case decode
     entropy); 'smooth' writes low-frequency images (realistic JPEG sizes).
+    occ_shape: Occ3D label grid — (200,200,16) for real-shape runs, or the
+    model's cfg.backbone.occ_grid for tiny end-to-end tests.
     """
     root = str(root)
     rng = np.random.RandomState(seed)
@@ -80,10 +83,10 @@ def make_fake_nusc(root, n_samples: int = 2, n_points: int = 1000,
             calibrated_sensor=dict(rotation=[1.0, 0, 0, 0],
                                    translation=[0.9, 0.0, 1.8]),
             lidarseg_labels_filename=f'lidar/s{si}_seg.bin')}
-        sem = rng.randint(0, 18, (200, 200, 16)).astype(np.uint8)
+        sem = rng.randint(0, 18, occ_shape).astype(np.uint8)
         np.savez(os.path.join(root, f'occ/s{si}.npz'), semantics=sem,
-                 mask_lidar=rng.rand(200, 200, 16) > 0.5,
-                 mask_camera=rng.rand(200, 200, 16) > 0.5)
+                 mask_lidar=rng.rand(*occ_shape) > 0.5,
+                 mask_camera=rng.rand(*occ_shape) > 0.5)
         ann_infos = [dict(category_name='vehicle.car',
                           translation=[105.0 + si, 55.0, 0.5],
                           size=[1.9, 4.5, 1.6],

@@ -99,7 +99,11 @@ class NuscDetSegDataset:
                  sweep_idxes: Sequence[int] = (),
                  key_idxes: Sequence[int] = (),
                  max_points: int = 36864,
-                 seed: int = 0):
+                 seed: int = 0,
+                 seg_bounds=None):
+        """seg_bounds: ((x0,x1,sx),(y0,y1,sy),(z0,z1,sz)) of the model's seg
+        field grid (cfg.backbone.*_bound_seg) — drives the BEV raster shape;
+        None = the reference/flagship grid (get_bev_seg_map, :233-265)."""
         self.infos = _load_infos(info_paths)
         self.mode = mode
         self.ida_aug = ida_aug
@@ -115,6 +119,7 @@ class NuscDetSegDataset:
         self.sweeps_idx = list(sweep_idxes)
         self.key_idxes = [0] + list(key_idxes)
         self.max_points = max_points
+        self.seg_bounds = seg_bounds
         self.rng = np.random.RandomState(seed)
         if use_cbgs:
             self.cat2id = {n: i for i, n in enumerate(self.classes)}
@@ -447,7 +452,13 @@ class NuscDetSegDataset:
         if self.mode == 'train':
             sample['depth_labels'] = stack_frames(depth_maps)  # ([F,] N, fH, fW)
             sample['seg_labels'] = stack_frames(label_maps).astype(np.int32)
-            seg, height, mask = T.make_bev_seg_map(ego_pts, pt_labels)
+            if self.seg_bounds is not None:
+                (x0, x1, sx), (y0, y1, _), (z0, z1, _) = self.seg_bounds
+                seg, height, mask = T.make_bev_seg_map(
+                    ego_pts, pt_labels, x_bound=(x0, x1), y_bound=(y0, y1),
+                    z_bound=(z0, z1), size=sx)
+            else:
+                seg, height, mask = T.make_bev_seg_map(ego_pts, pt_labels)
             sample.update(bev_seg=seg, bev_height=height, bev_mask=mask)
             sample.update(assign_targets_single(gt_boxes, gt_labels,
                                                 self.head_cfg))

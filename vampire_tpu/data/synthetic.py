@@ -11,8 +11,8 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..configs import (BackboneConfig, HeadConfig, TrainConfig, VampireConfig,
-                       DET_TASKS)
+from ..configs import (BackboneConfig, HeadConfig, IdaAugConfig, TrainConfig,
+                       VampireConfig, DET_TASKS)
 from ..ops.target_assign import assign_targets_batch
 
 _CAM_YAWS = np.deg2rad([55.0, 0.0, -55.0, 110.0, 180.0, -110.0])
@@ -150,4 +150,7 @@ def tiny_config() -> VampireConfig:
         nms_post_max_size=10,
     )
     tc = TrainConfig(batch_size_per_device=1, max_points=128)
-    return VampireConfig(backbone=bc, head=hc, train=tc)
+    # dataset-side augs consistent with the tiny model: without this the
+    # --debug CLI path would rasterize 256x704 images into a 32x64 model
+    ida = IdaAugConfig(resize_lim=(0.04, 0.06), final_dim=(32, 64))
+    return VampireConfig(backbone=bc, head=hc, train=tc, ida_aug=ida)
