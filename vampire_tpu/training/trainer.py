@@ -56,6 +56,17 @@ class Trainer:
         self.num_devices = n_dev
         self._log_file = open(os.path.join(self.workdir, 'scalars.jsonl'), 'a')
         self._ckpt_mgr = None
+        # optional TensorBoard sink (the reference logs scalars + image
+        # panels to TensorBoard via tensorboardX, base_exp.py:370-433);
+        # scalars.jsonl/PNG panels remain the canonical artifacts
+        self._tb = None
+        from ..parallel.distributed import is_main_process
+        if is_main_process():
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(self.workdir, 'tb'))
+            except Exception:
+                pass
 
     # ------------------------------------------------------------------
     def init_state(self, example_batch: Dict[str, np.ndarray],
@@ -96,6 +107,10 @@ class Trainer:
         rec.update({k: float(v) for k, v in scalars.items()})
         self._log_file.write(json.dumps(rec) + '\n')
         self._log_file.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != 'step':
+                    self._tb.add_scalar(k, v, step)
 
     # ------------------------------------------------------------------
     def checkpoint_manager(self):
@@ -195,7 +210,8 @@ class Trainer:
             self.save_checkpoint(state, epoch)
             if val_loader is not None and \
                     (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
-                self.validate(val_loader, state)
+                self.log_scalars(int(state.step),
+                                 self.validate(val_loader, state))
         return state
 
     def _report_train_iou(self, conf, step: int) -> None:
@@ -264,6 +280,8 @@ class Trainer:
         }
         for name, img in panels.items():
             Image.fromarray(img).save(os.path.join(d, f'{step:07d}_{name}.png'))
+            if self._tb is not None:
+                self._tb.add_image(name, img, step, dataformats='HWC')
 
     def validate(self, val_loader, state: TrainState,
                  use_ema: Optional[bool] = None) -> Dict[str, float]:
