@@ -71,6 +71,16 @@ def test_cli_debug_fit_and_validate_end_to_end(tmp_path):
     ckpts = list(wd.glob('*/checkpoints/*'))
     assert ckpts, f'no checkpoint written under {wd}'
     cli.main(common + ['-v'])
+    # -t: detection submission json (official NuScenesEval is devkit-gated)
+    cli.main(common + ['-t'])
+    assert list(wd.glob('*/detection_submit/*.json'))
+    # -p: test-split predict — detection json + per-token lidarseg bins
+    shutil.copy(root / 'infos_train.pkl', root / 'nuscenes_infos_test.pkl')
+    cli.main(common + ['-p'])
+    assert list(wd.glob('*/lidarseg_submit/**/*.bin'))
+    # --vis: per-frame render pickles
+    cli.main(common + ['-t', '--vis'])
+    assert list(wd.glob('*/visualization/*.pkl'))
 
 
 def test_flagship_is_depth_semantic():
