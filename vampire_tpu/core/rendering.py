@@ -181,6 +181,60 @@ def sample_and_composite_rays(table: jnp.ndarray,
     return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
 
 
+def _make_ray_pass(flat, Ct, C, K, vol_shape, density_fn):
+    """One chunk-pass of the pass-structured ray samplers (compact and
+    early-term share this exactly): gather + composite `sc` samples of `kj`
+    rays given each ray's carried optical depth `sd_in`; returns per-ray
+    [rgb(3) | seg(K) | depth | w | sd] partial sums."""
+    from . import sampling as S
+    D, H, W = vol_shape
+
+    def one_pass(cc, vl, dl, sd_in, m_sl):
+        kj, sc = vl.shape
+        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
+                                         True, False)
+        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
+        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
+        samp = samp.reshape(kj, sc, Ct)[..., :C] * vl[..., None]
+        sdf = samp[..., 0]
+        density = density_fn(sdf)
+        sd = density * dl
+        local = jnp.cumsum(sd, axis=-1) - sd
+        trans = jnp.exp(-(sd_in[:, None] + local))
+        w = (1.0 - jnp.exp(-sd)) * trans                        # (kj, sc)
+        rgb_o = jnp.sum(w[..., None] * samp[..., K + 1:K + 4], axis=1)
+        seg_o = jnp.sum(w[..., None] * samp[..., 1:K + 1], axis=1)
+        depth_o = jnp.sum(w * m_sl[None, :], axis=1)
+        w_o = jnp.sum(w, axis=1)
+        sd_o = jnp.sum(sd, axis=1)
+        return jnp.concatenate(
+            [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
+            axis=-1)
+
+    return one_pass
+
+
+def _fog_and_finalize(acc, dl_sorted, fog_m, mids, d0, bg_depth, order, K):
+    """Shared tail of the pass-structured samplers: closed-form fog
+    compositing over the untouched (ray, sample) mask `fog_m` (sorted ray
+    order), bg-depth completion, unsort, output split.
+
+    Accumulator layout: rgb [0:3] | seg [3:3+K] | depth K+3 | w K+4 | sd K+5.
+    """
+    sd_f = d0 * dl_sorted * fog_m
+    local = jnp.cumsum(sd_f, axis=-1) - sd_f
+    trans = jnp.exp(-(acc[:, K + 5][:, None] + local))
+    wf = (1.0 - jnp.exp(-sd_f)) * trans * fog_m
+    depth_f = jnp.sum(wf * mids[None, :], axis=1)
+    w_f = jnp.sum(wf, axis=1)
+    acc_w = acc[:, K + 4] + w_f
+    depth = acc[:, K + 3] + depth_f + (1.0 - acc_w) * bg_depth
+    out = jnp.concatenate([acc[:, :K + 3], depth[:, None]], axis=-1)
+    inv = jnp.argsort(order)
+    out = jnp.take(out, inv, axis=0)
+    return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
+
+
 def sample_and_composite_rays_compact(table: jnp.ndarray,
                                       vol_shape: Tuple[int, int, int],
                                       num_classes: int,
@@ -218,9 +272,7 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
     Args/returns: as `sample_and_composite_rays`, plus `chunk`/`pass_fracs`
     (BackboneConfig.ray_chunk / ray_pass_fracs).
     """
-    from . import sampling as S
     import numpy as np
-    D, H, W = vol_shape
     K = num_classes
     C = 1 + K + 3
     flat = table.reshape(table.shape[0], -1)
@@ -249,29 +301,7 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
     # accumulators (sorted ray order): rgb(3) | seg(K) | depth_w | acc_w | sd
     acc = jnp.zeros((R, C + 2), jnp.float32)
 
-    def one_pass(cc, vl, dl, sd_in, m_sl):
-        """Gather + composite chunk samples given carried optical depth."""
-        kj, sc = vl.shape
-        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
-                                         True, False)
-        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
-        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
-        samp = samp.reshape(kj, sc, Ct)[..., :C] * vl[..., None]
-        sdf = samp[..., 0]
-        density = density_fn(sdf)
-        sd = density * dl
-        local = jnp.cumsum(sd, axis=-1) - sd
-        trans = jnp.exp(-(sd_in[:, None] + local))
-        w = (1.0 - jnp.exp(-sd)) * trans                        # (kj, sc)
-        rgb_o = jnp.sum(w[..., None] * samp[..., K + 1:K + 4], axis=1)
-        seg_o = jnp.sum(w[..., None] * samp[..., 1:K + 1], axis=1)
-        depth_o = jnp.sum(w * m_sl[None, :], axis=1)
-        w_o = jnp.sum(w, axis=1)
-        sd_o = jnp.sum(sd, axis=1)
-        return jnp.concatenate(
-            [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
-            axis=-1)
-
+    one_pass = _make_ray_pass(flat, Ct, C, K, vol_shape, density_fn)
     # remat=True re-gathers each pass's rows in backward (minimal memory);
     # False stores the gathered/composited residuals instead — trades HBM
     # for skipping the backward re-gather (see BackboneConfig.ray_remat)
@@ -293,20 +323,7 @@ def sample_and_composite_rays_compact(table: jnp.ndarray,
         for j, kj in enumerate(caps))
     s_idx = jnp.arange(S_n)[None, :]
     fog_m = (s_idx >= processed[:, None]).astype(jnp.float32)
-    sd_f = d0 * dl_s * fog_m
-    local = jnp.cumsum(sd_f, axis=-1) - sd_f
-    trans = jnp.exp(-(acc[:, C + 1][:, None] + local))
-    wf = (1.0 - jnp.exp(-sd_f)) * trans * fog_m
-    depth_f = jnp.sum(wf * mids[None, :], axis=1)
-    w_f = jnp.sum(wf, axis=1)
-
-    # accumulator layout: rgb [0:3] | seg [3:3+K] | depth K+3 | w K+4 | sd K+5
-    acc_w = acc[:, K + 4] + w_f
-    depth = acc[:, K + 3] + depth_f + (1.0 - acc_w) * bg_depth
-    out = jnp.concatenate([acc[:, :K + 3], depth[:, None]], axis=-1)
-    inv = jnp.argsort(order)
-    out = jnp.take(out, inv, axis=0)
-    return out[:, :3], out[:, 3:K + 3], out[:, K + 3]
+    return _fog_and_finalize(acc, dl_s, fog_m, mids, d0, bg_depth, order, K)
 
 
 def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
@@ -359,9 +376,7 @@ def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
 
     Returns (rgb (R,3), seg (R,K), depth (R,)) fp32 [, diag ()].
     """
-    from . import sampling as S
     import numpy as np
-    D, H, W = vol_shape
     K = num_classes
     C = 1 + K + 3
     flat = table.reshape(table.shape[0], -1)
@@ -375,29 +390,8 @@ def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
     dl_all = deltas.astype(jnp.float32)
     d0 = density_fn(jnp.zeros((), jnp.float32))
 
-    def one_pass(cc, vl, dl, sd_in, m_sl):
-        kj, sc = vl.shape
-        rows, w8 = S.corner_rows_weights(cc.reshape(-1, 3), (D, H, W),
-                                         True, False)
-        t = jnp.take(flat, rows, axis=0).reshape(-1, 8, Ct)
-        samp = jnp.sum(t.astype(jnp.float32) * w8[:, :, None], axis=1)
-        samp = samp.reshape(kj, sc, Ct)[..., :C] * vl[..., None]
-        sdf = samp[..., 0]
-        density = density_fn(sdf)
-        sd = density * dl
-        local = jnp.cumsum(sd, axis=-1) - sd
-        trans = jnp.exp(-(sd_in[:, None] + local))
-        w = (1.0 - jnp.exp(-sd)) * trans
-        rgb_o = jnp.sum(w[..., None] * samp[..., K + 1:K + 4], axis=1)
-        seg_o = jnp.sum(w[..., None] * samp[..., 1:K + 1], axis=1)
-        depth_o = jnp.sum(w * m_sl[None, :], axis=1)
-        w_o = jnp.sum(w, axis=1)
-        sd_o = jnp.sum(sd, axis=1)
-        return jnp.concatenate(
-            [rgb_o, seg_o, depth_o[:, None], w_o[:, None], sd_o[:, None]],
-            axis=-1)
-
-    one_pass = jax.checkpoint(one_pass)
+    one_pass = jax.checkpoint(
+        _make_ray_pass(flat, Ct, C, K, vol_shape, density_fn))
 
     # accumulator layout: rgb [0:3] | seg [3:3+K] | depth K+3 | w K+4 | sd K+5
     acc = jnp.zeros((R, C + 2), jnp.float32)
@@ -446,19 +440,7 @@ def sample_and_composite_rays_earlyterm(table: jnp.ndarray,
     fog_m = ((s_idx >= processed[:, None])
              & exited_s[:, None]).astype(jnp.float32)
     dl_s = jnp.take(dl_all, order, axis=0)
-    sd_f = d0 * dl_s * fog_m
-    local = jnp.cumsum(sd_f, axis=-1) - sd_f
-    trans = jnp.exp(-(acc[:, C + 1][:, None] + local))
-    wf = (1.0 - jnp.exp(-sd_f)) * trans * fog_m
-    depth_f = jnp.sum(wf * mids[None, :], axis=1)
-    w_f = jnp.sum(wf, axis=1)
-
-    acc_w = acc[:, K + 4] + w_f
-    depth = acc[:, K + 3] + depth_f + (1.0 - acc_w) * bg_depth
-    out = jnp.concatenate([acc[:, :K + 3], depth[:, None]], axis=-1)
-    inv = jnp.argsort(order)
-    out = jnp.take(out, inv, axis=0)
-    res = (out[:, :3], out[:, 3:K + 3], out[:, K + 3])
+    res = _fog_and_finalize(acc, dl_s, fog_m, mids, d0, bg_depth, order, K)
     return res + (diag,) if return_diag else res
 
 

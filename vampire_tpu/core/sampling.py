@@ -296,6 +296,9 @@ def grid_sample_3d_fused(vol: jnp.ndarray, coords: jnp.ndarray,
 
     rows, w8 = corner_rows_weights(c, (D, H, W), align_corners, border)
 
+    # don't pad small query sets (e.g. the 36,864 point queries) all the way
+    # to a 65,536-row chunk — cap the chunk at P rounded up to a lane tile
+    chunk = min(chunk, -(-P // 128) * 128)
     pad = (-P) % chunk
     rows_p = jnp.pad(rows, (0, pad))
     w8_p = jnp.pad(w8, ((0, pad), (0, 0)))
@@ -352,12 +355,9 @@ def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
     flat = lift_table(depth_vol, feat)
     flat = flat.reshape((D + 1) * (H + 1) * (W + 1), 8 + 4 * C)
 
-    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, False)
-    by, ay = _axis_window_weights(c[:, 1], H, align_corners, False)
-    bz, az = _axis_window_weights(c[:, 2], D, align_corners, False)
-    rows = (bz * (H + 1) + by) * (W + 1) + bx
-    w8 = (az[:, :, None, None] * ay[:, None, :, None]
-          * ax[:, None, None, :]).reshape(-1, 8)     # full trilinear weights
+    # shared row/weight contract with build_neighborhood_table (the lift
+    # table uses the same (D+1)(H+1)(W+1) corner-base keying)
+    rows, w8 = corner_rows_weights(c, (D, H, W), align_corners, border=False)
 
     pad = (-P) % chunk
     rows_p = jnp.pad(rows, (0, pad))

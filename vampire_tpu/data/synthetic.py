@@ -131,6 +131,10 @@ def tiny_config() -> VampireConfig:
         occ_pc_range=(-3.2, -3.2, -1.0, 3.2, 3.2, 0.6),
         occ_voxel_size=(0.8, 0.8, 0.4),
         occ_grid=(8, 8, 4),
+        # the flagship-measured pass/cap curves are per-(S, chunk) — disable
+        # compaction/ET at tiny shapes (dense sampler)
+        ray_pass_fracs=(),
+        ray_et_fracs=(),
     )
     hc = HeadConfig(
         in_channels=32,

@@ -145,13 +145,10 @@ class FieldBackbone(nn.Module):
         # learnable Laplace beta (render_utils.py:5-7)
         self.density_beta = self.param('density_beta',
                                        nn.initializers.constant(0.1), ())
-        zdet = c.grid_zyx('det')[0]
-        voxel_out_in = c.mid_channels + (c.num_classes if c.cat_seg else 0)
         self.voxel_output = nn.Conv(c.output_channels, (1, 1), use_bias=True,
                                     dtype=jnp.float32, param_dtype=jnp.float32,
                                     kernel_init=kaiming_out,
                                     name='voxel_output')
-        self._voxel_out_in = voxel_out_in * zdet
 
     # ------------------------------------------------------------------
     def _density(self, x):
@@ -416,10 +413,20 @@ class FieldBackbone(nn.Module):
         # are configured and this is a train-mode forward.
         n_pass = -(-Snum // c.ray_chunk)
         n_et_pass = -(-Snum // c.ray_et_chunk)
-        use_compact = (train and c.ray_pass_fracs
-                       and len(c.ray_pass_fracs) == n_pass)
-        use_et = ((not train) and c.ray_et_fracs
-                  and len(c.ray_et_fracs) == n_et_pass - c.ray_et_prefix)
+        if c.ray_pass_fracs and len(c.ray_pass_fracs) != n_pass:
+            raise ValueError(
+                f'ray_pass_fracs has {len(c.ray_pass_fracs)} entries but the '
+                f'ray axis makes {n_pass} passes (S={Snum}, chunk='
+                f'{c.ray_chunk}); re-measure the curve or set () to disable')
+        if c.ray_et_fracs and \
+                len(c.ray_et_fracs) != n_et_pass - c.ray_et_prefix:
+            raise ValueError(
+                f'ray_et_fracs has {len(c.ray_et_fracs)} entries but needs '
+                f'{n_et_pass - c.ray_et_prefix} (S={Snum}, chunk='
+                f'{c.ray_et_chunk}, prefix={c.ray_et_prefix}); set () to '
+                f'disable')
+        use_compact = bool(train and c.ray_pass_fracs)
+        use_et = bool((not train) and c.ray_et_fracs)
         if use_compact:
             sampler = functools.partial(
                 R.sample_and_composite_rays_compact, chunk=c.ray_chunk,
@@ -560,9 +567,9 @@ class FieldBackbone(nn.Module):
         # channel order c*Zd+z matches the reference's (C, Z) flatten
         vo = jnp.transpose(vo, (0, 2, 3, 4, 1)).reshape(B_, Yd, Xd, Cv * Zd)
         bev_feat = self.voxel_output(vo.astype(jnp.float32))
-        oY = self.cfg.grid_zyx('det')[1]
+        _, oY, oX = self.cfg.grid_zyx('det')
         if oY == 256:
-            bev_feat = S.resize_linear(bev_feat, (oY // 2, oY // 2), (1, 2))
+            bev_feat = S.resize_linear(bev_feat, (oY // 2, oX // 2), (1, 2))
 
         return dict(
             bev_feature=bev_feat,            # (B, 128, 128, 80) fp32

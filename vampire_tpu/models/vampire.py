@@ -23,6 +23,16 @@ class Vampire(nn.Module):
     lift_remat: bool = False
 
     def setup(self):
+        # the backbone's BEV feature (det grid, halved iff oY==256 — the
+        # reference's literal gate, base_vampire2.py:203-209) must land on
+        # the head's expected map size; catch grid misconfigs here instead
+        # of deep inside the head's target gather
+        _, oY, oX = self.backbone_cfg.grid_zyx('det')
+        bev_hw = (oY // 2, oX // 2) if oY == 256 else (oY, oX)
+        assert bev_hw == tuple(self.head_cfg.feature_map_size), (
+            f'backbone BEV feature {bev_hw} != head feature_map_size '
+            f'{self.head_cfg.feature_map_size} (x/y_bound_det vs '
+            f'grid_size/out_size_factor)')
         self.backbone = FieldBackbone(self.backbone_cfg, dtype=self.dtype,
                                       lift_vectorized=self.lift_vectorized,
                                       lift_remat=self.lift_remat,

@@ -42,7 +42,6 @@ def build_train_step(model: Vampire, cfg: VampireConfig,
     (base_exp.py:287-290, 374-376, 383-385); the Trainer reports and resets
     them at epoch end (base_exp.py:851-878)."""
     from .metrics import confusion_update
-    K = cfg.backbone.num_classes
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    conf=None):
