@@ -55,8 +55,11 @@ def test_cli_debug_fit_and_validate_end_to_end(tmp_path):
 
     cfg = tiny_config()
     root = tmp_path / 'nusc'
-    make_fake_nusc(root, n_samples=2, n_points=500, seed=0,
-                   image_content='smooth', occ_shape=cfg.backbone.occ_grid)
+    # n_points must fit max_points: eval/predict refuse to crop the cloud
+    # (every point needs a lidarseg label in the submission)
+    make_fake_nusc(root, n_samples=2, n_points=cfg.train.max_points - 8,
+                   seed=0, image_content='smooth',
+                   occ_shape=cfg.backbone.occ_grid)
     for split in ('train', 'val'):
         shutil.copy(root / 'infos_train.pkl',
                     root / f'nuscenes_occ_infos_{split}.pkl')

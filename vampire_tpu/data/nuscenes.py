@@ -137,11 +137,14 @@ class NuscDetSegDataset:
                 if mapped in self.classes:
                     class_sample_idxs[self.cat2id[mapped]].append(idx)
         duplicated = sum(len(v) for v in class_sample_idxs.values())
-        dist = {k: len(v) / duplicated for k, v in class_sample_idxs.items()}
+        # classes absent from this split (e.g. mini) contribute no samples;
+        # skip them rather than dividing by their zero frequency
+        dist = {k: len(v) / duplicated for k, v in class_sample_idxs.items()
+                if v}
         out: List[int] = []
         frac = 1.0 / len(self.classes)
-        for cls_inds, ratio in zip(class_sample_idxs.values(),
-                                   [frac / v for v in dist.values()]):
+        for k, ratio in ((k, frac / v) for k, v in dist.items()):
+            cls_inds = class_sample_idxs[k]
             out += self.rng.choice(cls_inds,
                                    int(len(cls_inds) * ratio)).tolist()
         return out
@@ -439,6 +442,13 @@ class NuscDetSegDataset:
         # padded point cloud (replaces ragged inrange_pts; ref_index is the
         # identity in the reference, :294-310)
         P = self.max_points
+        if self.mode != 'train' and ego_pts.shape[0] > P:
+            # eval/predict must label EVERY point (the lidarseg submission
+            # needs one label per cloud point, base_exp.py:835-848) — a
+            # silent crop would produce a rejected/incomplete submission
+            raise ValueError(
+                f'point cloud has {ego_pts.shape[0]} points > max_points='
+                f'{P}; raise train.max_points for eval/predict')
         n = min(ego_pts.shape[0], P)
         pts_pad = np.zeros((P, 3), np.float32)
         lab_pad = np.zeros((P,), np.int32)

@@ -35,7 +35,8 @@ def camera_rig(batch_size: int, n_cams: int = 6,
         s2e[:, n, :3, :3] = rz @ opt2ego
         s2e[:, n, :3, 3] = rz @ np.array([1.5, 0.0, 1.6], np.float32)
     intr = np.tile(np.eye(4, dtype=np.float32), (batch_size, n_cams, 1, 1))
-    f = 1266.0 * fW / 1600.0 * (1600.0 / W)
+    # raw-image intrinsics (nuScenes-like f=1266 at 1600x900); the ida
+    # matrix below carries the resize/crop to final_dim
     intr[..., 0, 0] = 1266.0
     intr[..., 1, 1] = 1266.0
     intr[..., 0, 2] = W / 2.0

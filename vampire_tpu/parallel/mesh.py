@@ -34,16 +34,23 @@ def make_mesh(dp: Optional[int] = None, cam: int = 1,
 
 
 # leading-axis layout of a training batch: everything is batch-major except
-# the camera-carrying arrays which also shard their camera axis
-_CAM_AXIS_KEYS = ('imgs', 'sensor2ego', 'intrin', 'ida', 'sensor2sensor',
-                  'depth_labels', 'seg_labels')
+# the camera-carrying arrays which also shard their camera axis. Value =
+# the key's SINGLE-FRAME ndim (camera axis 1); multi-frame batches
+# (sweep_idxes/key_idxes, data/nuscenes.py stack_frames) carry one extra
+# frame axis at dim 1, moving the camera axis to dim 2.
+_CAM_AXIS_KEYS = {'imgs': 5, 'sensor2ego': 4, 'intrin': 4, 'ida': 4,
+                  'sensor2sensor': 4, 'depth_labels': 4, 'seg_labels': 4}
 
 
 def batch_pspecs(batch: Dict[str, Any]) -> Dict[str, P]:
     specs = {}
-    for k in batch:
-        if k in _CAM_AXIS_KEYS:
+    for k, v in batch.items():
+        nd = getattr(v, 'ndim', None)
+        base = _CAM_AXIS_KEYS.get(k)
+        if base is not None and nd == base:
             specs[k] = P('dp', 'cam')
+        elif base is not None and nd == base + 1:
+            specs[k] = P('dp', None, 'cam')    # (B, F, N, ...)
         else:
             specs[k] = P('dp')
     return specs

@@ -29,7 +29,7 @@ from ..models.vampire import Vampire
 from ..parallel.mesh import make_mesh, batch_pspecs
 from .metrics import JaccardIndex, format_iou_report
 from .train_state import TrainState, create_train_state
-from .train_step import build_eval_step, build_train_step, split_mats
+from .train_step import build_train_step, split_mats
 
 DEVICE_KEYS_EXCLUDE = ('meta',)
 
@@ -53,15 +53,21 @@ class Trainer:
             else jnp.float32
         self.model = Vampire(cfg.backbone, cfg.head, dtype=dtype,
                              lift_vectorized=lift_vectorized)
-        self.num_devices = n_dev
-        self._log_file = open(os.path.join(self.workdir, 'scalars.jsonl'), 'a')
+        # the LOGICAL device count this trainer steps over (the mesh may be
+        # a subset of the host's devices, cli.py --num-devices): feeds the
+        # detection-loss normalization floors (reduce_mean parity)
+        self.num_devices = mesh.size
         self._ckpt_mgr = None
-        # optional TensorBoard sink (the reference logs scalars + image
-        # panels to TensorBoard via tensorboardX, base_exp.py:370-433);
-        # scalars.jsonl/PNG panels remain the canonical artifacts
+        # rank 0 owns all log artifacts (multi-host processes would
+        # interleave appends to a shared scalars.jsonl); optional TensorBoard
+        # sink mirrors the reference's scalar + image logging via
+        # tensorboardX (base_exp.py:370-433)
+        self._log_file = None
         self._tb = None
         from ..parallel.distributed import is_main_process
         if is_main_process():
+            self._log_file = open(
+                os.path.join(self.workdir, 'scalars.jsonl'), 'a')
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(os.path.join(self.workdir, 'tb'))
@@ -103,6 +109,8 @@ class Trainer:
         return make_global_batch(arrays, self.mesh, specs)
 
     def log_scalars(self, step: int, scalars: Dict[str, Any]):
+        if self._log_file is None:     # non-main process
+            return
         rec = {'step': step}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._log_file.write(json.dumps(rec) + '\n')
@@ -171,6 +179,11 @@ class Trainer:
         if state is None:
             first = next(iter(train_loader))
             state = self.init_state(first, steps_per_epoch)
+        elif not hasattr(self, 'tx'):
+            # state built elsewhere (e.g. restored out-of-band): rebuild the
+            # optimizer transform this Trainer will step with
+            from .train_state import make_optimizer
+            self.tx = make_optimizer(cfg.train, steps_per_epoch, state.params)
         start_epoch = 0
         if finetune_from is not None:
             state = self.restore_checkpoint(state, step=finetune_from,
@@ -189,29 +202,33 @@ class Trainer:
                                               self.num_devices,
                                               with_metrics=True),
                              donate_argnums=(0, 2))
+        # host-side step counter: int(state.step) on the just-dispatched
+        # (donated) output would block on the device every iteration and
+        # serialize host dispatch — sync once here instead
+        step_no = int(state.step)
         for epoch in range(start_epoch, cfg.train.max_epochs):
             t_ep = time.time()
             conf = self._replicate(init_train_confusion(cfg))
             for it, batch in enumerate(train_loader):
                 dev_batch = self._to_device(batch)
                 state, logs, conf = train_step(state, dev_batch, conf)
+                step_no += 1
                 if it % log_every == 0:
                     logs = jax.device_get(logs)
-                    self.log_scalars(int(state.step), logs)
+                    self.log_scalars(step_no, logs)
                     print(f'epoch {epoch} it {it}/{steps_per_epoch} '
                           f"loss {float(logs['total_loss']):.4f}", flush=True)
-                if image_every and int(state.step) % image_every == 0:
+                if image_every and step_no % image_every == 0:
                     try:
                         self.log_images(state, dev_batch)
                     except Exception as e:  # vis must never kill training
                         print(f'log_images failed: {e}')
             print(f'epoch {epoch} done in {time.time() - t_ep:.1f}s')
-            self._report_train_iou(conf, int(state.step))
+            self._report_train_iou(conf, step_no)
             self.save_checkpoint(state, epoch)
             if val_loader is not None and \
                     (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
-                self.log_scalars(int(state.step),
-                                 self.validate(val_loader, state))
+                self.log_scalars(step_no, self.validate(val_loader, state))
         return state
 
     def _report_train_iou(self, conf, step: int) -> None:
@@ -291,7 +308,12 @@ class Trainer:
         from .train_step import build_metric_eval_step
         cfg = self.cfg
         params = self._eval_params(state, use_ema)
-        eval_step = jax.jit(build_metric_eval_step(self.model, cfg))
+        # cache the jitted step: a fresh closure per validate() call would
+        # miss jax's jit cache and re-trace/compile every validation epoch
+        if not hasattr(self, '_metric_eval_step'):
+            self._metric_eval_step = jax.jit(
+                build_metric_eval_step(self.model, cfg))
+        eval_step = self._metric_eval_step
         val_iou = JaccardIndex(17, ignore_index=0)
         occ_iou = JaccardIndex(cfg.backbone.num_classes)
         for batch in val_loader:
@@ -336,7 +358,21 @@ class Trainer:
             return
         from ..parallel.distributed import (host_local_rows, is_main_process,
                                             process_allgather)
-        eval_step = jax.jit(build_eval_step(self.model, cfg, lidar_seg=False))
+        model = self.model
+
+        # det-only step: build_eval_step also returns occ_logits
+        # (B,200,200,16,K fp32 ~ 46 MB/sample) + pts_logits, which test()
+        # never reads — fetch only the decoded detections
+        def det_step(params, batch_stats, batch):
+            mats = split_mats(batch)
+            _, preds = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['imgs'], mats, points=batch['points'], train=False)
+            from ..models.centerpoint_head import decode_preds
+            return dict(det=decode_preds(preds, cfg.head))
+        if not hasattr(self, '_det_step'):
+            self._det_step = jax.jit(det_step)
+        eval_step = self._det_step
         results, metas = [], []
         for batch in test_loader:
             dev = self._to_device(batch)
