@@ -263,8 +263,8 @@ def test_ce_lovasz_compact_exact():
 def test_ms_ssim_torch_oracle():
     """ops/msssim.py vs an INDEPENDENT torch implementation of the same
     published algorithm (Wang et al. MS-SSIM with torchmetrics defaults:
-    gaussian 11/1.5, valid conv, k1/k2 .01/.03, betas 5-scale, pad-to-even
-    + 2x avgpool between scales, relu normalization). torchmetrics itself
+    gaussian 11/1.5, valid conv, k1/k2 .01/.03, betas 5-scale, floor 2x
+    avgpool between scales, relu normalization). torchmetrics itself
     is not installed in this image; this pins the jax implementation
     against a second numerical path in fp64 (VERDICT round-2 item 7)."""
     import torch
@@ -298,9 +298,7 @@ def test_ms_ssim_torch_oracle():
             ssim_v = ssim_map.mean(dim=(1, 2, 3))
             mcs.append(cs.mean(dim=(1, 2, 3)))
             if i < len(betas) - 1:
-                ph, pw = x.shape[2] % 2, x.shape[3] % 2
-                x = F.pad(x, (0, pw, 0, ph))
-                y = F.pad(y, (0, pw, 0, ph))
+                # floor behavior: avg_pool2d(2) drops a trailing odd row/col
                 x = F.avg_pool2d(x, 2)
                 y = F.avg_pool2d(y, 2)
         mcs_t = torch.stack([m.clamp(min=0) for m in mcs[:-1]])
@@ -310,7 +308,8 @@ def test_ms_ssim_torch_oracle():
                 * ssim_v ** b[-1]).mean()
 
     rng = np.random.RandomState(7)
-    for trial, (h, w) in enumerate(((192, 200), (176, 176))):
+    # (191, 201): odd dims exercise the floor (row/col-dropping) downscale
+    for trial, (h, w) in enumerate(((192, 200), (176, 176), (191, 201))):
         x = rng.rand(2, h, w, 3).astype(np.float32)
         # correlated pair (realistic SSIM regime), clipped to [0, 1]
         y = np.clip(x + rng.randn(2, h, w, 3).astype(np.float32) * 0.08,

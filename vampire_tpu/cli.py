@@ -21,9 +21,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser('vampire-tpu')
     p.add_argument('--exp', default='lss_inpaintor_depth_semantic',
                    help='ablation name (configs.ablation_config) or "flagship"')
-    p.add_argument('-v', '--validate', action='store_true')
-    p.add_argument('-t', '--test', action='store_true')
-    p.add_argument('-p', '--predict', action='store_true')
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument('-v', '--validate', action='store_true')
+    mode.add_argument('-t', '--test', action='store_true')
+    mode.add_argument('-p', '--predict', action='store_true')
     p.add_argument('--vis', action='store_true')
     p.add_argument('--debug', action='store_true',
                    help='CPU tiny-config smoke run (reference --debug)')
@@ -44,7 +45,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument('--num-workers', type=int, default=4)
     p.add_argument('--num-devices', type=int, default=None,
                    help='use only the first N local devices (reference '
-                        '--gpus, base_cli.py:33); default: all')
+                        '--gpus, base_cli.py:33); single-process only; '
+                        'default: all')
+    p.add_argument('--pretrained-backbone', default='',
+                   help='torchvision resnet .pth grafted onto the image '
+                        'backbone at init (the reference recipe, '
+                        'base_exp.py:73)')
     return p
 
 
@@ -79,14 +85,17 @@ def main(argv=None):
         data_root=args.data_root,
         num_devices=n_dev,
         use_ema=args.use_ema,
+        pretrained_backbone=args.pretrained_backbone,
         seed=args.seed))
 
     mesh = None
     if args.num_devices:
-        from .parallel.mesh import make_mesh
-        cam = 2 if (n_dev % 2 == 0 and n_dev > 1) else 1
-        mesh = make_mesh(dp=n_dev // cam, cam=cam,
-                         devices=jax.devices()[:n_dev])
+        if jax.process_count() > 1:
+            raise SystemExit('--num-devices is single-process only: a '
+                             'device-subset mesh cannot be formed '
+                             'consistently across pod processes')
+        from .parallel.mesh import default_mesh
+        mesh = default_mesh(jax.devices()[:n_dev])
     trainer = Trainer(cfg, workdir=args.workdir, mesh=mesh)
     data_root = args.data_root
 

@@ -320,6 +320,12 @@ class TrainConfig:
     # keeps every epoch's EMA .pth sidecar, callbacks/ema.py:101-117, so a
     # 24-epoch study can resume/eval from any epoch); N > 0 keeps the last N
     keep_checkpoints: int = 3
+    # path to a torchvision resnet .pth: grafted onto the image backbone at
+    # init (the reference trains from torchvision-pretrained R50,
+    # init_cfg Pretrained, base_exp.py:73; this zero-egress image cannot
+    # download it, so the weights file must be provided). '' = random init,
+    # announced once at init_state.
+    pretrained_backbone: str = ''
 
     @property
     def lr(self) -> float:

@@ -71,10 +71,9 @@ def ms_ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
         ssim_val, cs = _ssim_mcs(x, y, k, data_range, k1, k2)
         mcs_list.append(cs)
         if i < len(betas) - 1:
-            # pad to even then 2x avg pool (torchmetrics behavior)
-            pads = [(0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, 0)]
-            x = jnp.pad(x, pads)
-            y = jnp.pad(y, pads)
+            # 2x avg pool; VALID windowing drops a trailing odd row/col,
+            # matching torch F.avg_pool2d(2) floor behavior (a zero-pad here
+            # would average phantom black pixels into every border mean)
             x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1),
                                       (1, 2, 2, 1), 'VALID') / 4.0
             y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, 2, 2, 1),

@@ -27,11 +27,24 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _build_failed:
             return _lib
         try:
+            src = os.path.join(_CSRC, 'vampire_host.cpp')
+            # a prebuilt .so without sources (packaged tree) is fine as-is;
+            # rebuild only when the source exists and is newer
             if not os.path.exists(_LIB_PATH) or (
-                    os.path.getmtime(_LIB_PATH) <
-                    os.path.getmtime(os.path.join(_CSRC, 'vampire_host.cpp'))):
-                subprocess.run(['make', '-C', _CSRC], check=True,
-                               capture_output=True)
+                    os.path.exists(src)
+                    and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+                # build to a per-process temp name and move atomically:
+                # forked data-loader workers can race on first use, and a
+                # concurrently half-written .so must never be CDLL'd
+                tmp = f'{_LIB_PATH}.{os.getpid()}'
+                proc = subprocess.run(
+                    ['make', '-C', _CSRC, f'OUT={os.path.basename(tmp)}'],
+                    check=False, capture_output=True, text=True)
+                if proc.returncode != 0 or not os.path.exists(tmp):
+                    raise RuntimeError(
+                        f'make failed (rc={proc.returncode}): '
+                        f'{proc.stderr[-500:]}')
+                os.replace(tmp, _LIB_PATH)
             lib = ctypes.CDLL(_LIB_PATH)
             f32p = ctypes.POINTER(ctypes.c_float)
             i32p = ctypes.POINTER(ctypes.c_int)
@@ -52,7 +65,11 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.rasterize_bev.argtypes = [f32p, ctypes.c_int, ctypes.c_int,
                                           ctypes.c_int, f32p, f32p, f32p]
             _lib = lib
-        except Exception:
+        except Exception as e:
+            import sys
+            print(f'vampire_host C++ library unavailable ({e}); '
+                  f'using the (much slower) numpy fallbacks',
+                  file=sys.stderr, flush=True)
             _build_failed = True
         return _lib
 
@@ -147,9 +164,11 @@ def _rect_corners_np(boxes: np.ndarray) -> np.ndarray:
 
 
 def _rect_iou_np(b1: np.ndarray, b2: np.ndarray) -> float:
-    """Rotated-rectangle IoU via Sutherland-Hodgman clipping (float64)."""
-    poly = [tuple(p) for p in _rect_corners_np(b1[None])[0]]
-    clipper = _rect_corners_np(b2[None])[0]
+    """Rotated-rectangle IoU via Sutherland-Hodgman clipping (float64 —
+    the C++ path computes in double, so the fallback must too for keep/
+    suppress parity at IoU ~= thresh)."""
+    poly = [tuple(p) for p in _rect_corners_np(b1[None].astype(np.float64))[0]]
+    clipper = _rect_corners_np(b2[None].astype(np.float64))[0]
     for e in range(4):
         ax, ay = clipper[e]
         bx, by = clipper[(e + 1) % 4]

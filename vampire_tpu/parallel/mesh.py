@@ -33,6 +33,16 @@ def make_mesh(dp: Optional[int] = None, cam: int = 1,
     return Mesh(arr, ('dp', 'cam'))
 
 
+def default_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """The standard dp x cam policy (one place — trainer, cli and the
+    multichip dryrun all use it): shard the 6-camera axis over 2 devices
+    whenever the device count is even (> 1), else pure dp."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    cam = 2 if (n % 2 == 0 and n > 1) else 1
+    return make_mesh(dp=n // cam, cam=cam, devices=devices)
+
+
 # leading-axis layout of a training batch: everything is batch-major except
 # the camera-carrying arrays which also shard their camera axis. Value =
 # the key's SINGLE-FRAME ndim (camera axis 1); multi-frame batches

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..configs import VampireConfig, LABEL_17_NAMES
 from ..models.vampire import Vampire
-from ..parallel.mesh import make_mesh, batch_pspecs
+from ..parallel.mesh import batch_pspecs
 from .metrics import JaccardIndex, format_iou_report
 from .train_state import TrainState, create_train_state
 from .train_step import build_train_step, split_mats
@@ -42,10 +42,9 @@ class Trainer:
         self.cfg = cfg
         self.workdir = os.path.join(workdir, cfg.train.exp_name)
         os.makedirs(self.workdir, exist_ok=True)
-        n_dev = jax.device_count()
         if mesh is None:
-            cam = 2 if (n_dev % 2 == 0 and n_dev > 1) else 1
-            mesh = make_mesh(dp=n_dev // cam, cam=cam)
+            from ..parallel.mesh import default_mesh
+            mesh = default_mesh()
         self.mesh = mesh
         if lift_vectorized is None:
             lift_vectorized = mesh.shape.get('cam', 1) > 1
@@ -82,6 +81,21 @@ class Trainer:
         variables = jax.jit(lambda: self.model.init(
             jax.random.PRNGKey(self.cfg.train.seed), batch['imgs'], mats,
             points=batch['points'], train=True))()
+        pb = self.cfg.train.pretrained_backbone
+        if pb:
+            # reference recipe: torchvision-pretrained R50 image backbone
+            # (init_cfg Pretrained, base_exp.py:73); fail loud on a bad path
+            from ..utils.torch_weights import (graft_into_variables,
+                                               load_torchvision_resnet)
+            bp, bs = load_torchvision_resnet(
+                pb, depth=self.cfg.backbone.img_backbone_depth)
+            variables = graft_into_variables(jax.device_get(variables),
+                                             bp, bs)
+            print(f'image backbone: torchvision weights grafted from {pb}')
+        else:
+            print('image backbone: random init (set '
+                  'train.pretrained_backbone / --pretrained-backbone for '
+                  'the reference recipe)')
         state, self.tx = create_train_state(
             variables['params'], variables['batch_stats'], self.cfg.train,
             steps_per_epoch)
@@ -151,8 +165,11 @@ class Trainer:
                    ema_params=state.ema_params)
         restored = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
         if weights_only:
+            # the EMA sidecar IS weights: without it, --use-ema eval would
+            # score the fresh-init EMA copy (base_cli.py loads the EMA .pth)
             new = state.replace(params=restored['params'],
-                                batch_stats=restored['batch_stats'])
+                                batch_stats=restored['batch_stats'],
+                                ema_params=restored.get('ema_params'))
         else:
             new = state.replace(**restored)
         return self._replicate(new)
@@ -188,6 +205,10 @@ class Trainer:
         if finetune_from is not None:
             state = self.restore_checkpoint(state, step=finetune_from,
                                             weights_only=True)
+            if state.ema_params is not None:
+                # fresh-run semantics: EMA restarts from the loaded weights
+                state = state.replace(
+                    ema_params=jax.tree.map(jnp.copy, state.params))
             print(f'fine-tuning from checkpoint {finetune_from} '
                   '(weights only, fresh optimizer)')
         elif resume:

@@ -78,25 +78,31 @@ def load_torchvision_resnet(path: str, depth: int = 50) -> Tuple[dict, dict]:
 def graft_into_variables(variables: dict, backbone_params: dict,
                          backbone_stats: dict,
                          prefix=('backbone', 'img_backbone')) -> dict:
-    """Replace the image-backbone subtree of a full model variables dict."""
+    """Replace the image-backbone subtree of a full model variables dict.
+
+    Pure: returns a new tree (fresh dicts along the modified path); the
+    caller's `variables` is left untouched. Shapes must match exactly —
+    a layout mismatch raises instead of silently reshaping.
+    """
     import jax
-    import flax
-    variables = flax.core.unfreeze(variables) if hasattr(flax.core, 'unfreeze') \
-        else dict(variables)
+
+    def check(o, n):
+        n = np.asarray(n, dtype=o.dtype)
+        if n.shape != o.shape:
+            raise ValueError(
+                f'pretrained kernel shape {n.shape} != model {o.shape}')
+        return n
 
     def replace(tree, path, sub):
-        node = tree
-        for p in path[:-1]:
-            node = node[p]
-        # keep dtypes/shapes of the existing tree
-        old = node[path[-1]]
-        node[path[-1]] = jax.tree.map(
-            lambda o, n: np.asarray(n, dtype=o.dtype).reshape(o.shape),
-            old, sub)
-        return tree
+        new = dict(tree)
+        if len(path) == 1:
+            new[path[0]] = jax.tree.map(check, tree[path[0]], sub)
+        else:
+            new[path[0]] = replace(tree[path[0]], path[1:], sub)
+        return new
 
-    variables['params'] = replace(dict(variables['params']), prefix,
-                                  backbone_params)
-    variables['batch_stats'] = replace(dict(variables['batch_stats']), prefix,
-                                       backbone_stats)
-    return variables
+    out = dict(variables)
+    out['params'] = replace(variables['params'], prefix, backbone_params)
+    out['batch_stats'] = replace(variables['batch_stats'], prefix,
+                                 backbone_stats)
+    return out
