@@ -146,19 +146,22 @@ class Trainer:
         return self._ckpt_mgr
 
     def save_checkpoint(self, state: TrainState, epoch: int):
+        """Async: returns as soon as orbax has snapshotted the arrays; the
+        write overlaps the next epoch (fit/restore wait before depending on
+        it)."""
         import orbax.checkpoint as ocp
         mgr = self.checkpoint_manager()
         mgr.save(epoch, args=ocp.args.StandardSave(
             dict(params=state.params, batch_stats=state.batch_stats,
                  opt_state=state.opt_state, step=state.step,
                  ema_params=state.ema_params)))
-        mgr.wait_until_finished()
 
     def restore_checkpoint(self, state: TrainState,
                            step: Optional[int] = None,
                            weights_only: bool = False) -> TrainState:
         import orbax.checkpoint as ocp
         mgr = self.checkpoint_manager()
+        mgr.wait_until_finished()   # an async save may still be in flight
         step = step if step is not None else mgr.latest_step()
         tpl = dict(params=state.params, batch_stats=state.batch_stats,
                    opt_state=state.opt_state, step=state.step,
@@ -250,6 +253,7 @@ class Trainer:
             if val_loader is not None and \
                     (epoch + 1) % cfg.train.check_val_every_n_epoch == 0:
                 self.log_scalars(step_no, self.validate(val_loader, state))
+        self.checkpoint_manager().wait_until_finished()  # flush async saves
         return state
 
     def _report_train_iou(self, conf, step: int) -> None:
