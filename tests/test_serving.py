@@ -3,7 +3,8 @@ import numpy as np
 import pytest
 
 from vampire_tpu.data.synthetic import synthetic_batch, tiny_config
-from vampire_tpu.serving import InferenceServer, TcpClient, serve_tcp
+from vampire_tpu.serving import (InferenceServer, ReplicaPool, TcpClient,
+                                 serve_tcp)
 
 
 @pytest.fixture(scope='module')
@@ -67,6 +68,30 @@ def test_stop_fails_queued_requests():
     srv.stop()
     with pytest.raises(RuntimeError, match='stopped'):
         fut.result(timeout=10)
+
+
+def test_replica_pool_distributes(server):
+    """ReplicaPool spreads requests across replicas and returns identical
+    results to a single server (same weights). Replica 2 shares the first
+    server's variables, so both compute the same function."""
+    cfg = server.cfg
+    srv2 = InferenceServer(cfg, variables=server.variables, max_batch=2,
+                           max_wait_ms=20, with_det=False).warmup().start()
+    try:
+        pool = ReplicaPool([server, srv2])
+        s = _sample(cfg, 5)
+        want = server.infer(s)
+        before2 = srv2.stats['requests']
+        futs = [pool.submit(_sample(cfg, 5)) for _ in range(4)]
+        outs = [f.result(timeout=300) for f in futs]
+        for o in outs:
+            np.testing.assert_allclose(o['pts_logits'], want['pts_logits'],
+                                       rtol=2e-4, atol=2e-4)
+        assert srv2.stats['requests'] > before2, \
+            'second replica never received work'
+        assert pool.stats['requests'] >= 4
+    finally:
+        srv2.stop()
 
 
 def test_tcp_roundtrip(server):

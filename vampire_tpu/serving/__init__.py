@@ -1,1 +1,2 @@
-from .server import InferenceServer, serve_tcp, TcpClient  # noqa: F401
+from .server import (InferenceServer, ReplicaPool, serve_tcp,  # noqa: F401
+                     TcpClient)

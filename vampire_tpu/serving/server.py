@@ -210,6 +210,47 @@ def _now():
     return time.monotonic()
 
 
+class ReplicaPool:
+    """Round-robin front-end over several InferenceServer replicas.
+
+    The measured serving optimum on v5e is micro-batch 1 per chip
+    (scripts/perf_r3_batch.py: B=2 is super-linear), so throughput scales by
+    REPLICATING chips — one InferenceServer per chip/process — and fanning
+    requests out. The pool exposes the same submit/infer surface as a single
+    server, so `serve_tcp(ReplicaPool([...]))` works unchanged.
+    """
+
+    def __init__(self, servers: Sequence[InferenceServer]):
+        assert servers, 'need at least one replica'
+        self._servers = list(servers)
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    def submit(self, sample: Dict[str, np.ndarray]) -> Future:
+        # round-robin, skewed toward the emptiest queue when loads diverge
+        with self._lock:
+            best = min(range(len(self._servers)),
+                       key=lambda i: (self._servers[i]._q.qsize(),
+                                      (i - self._rr) % len(self._servers)))
+            self._rr = (best + 1) % len(self._servers)
+        return self._servers[best].submit(sample)
+
+    def infer(self, sample: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        return self.submit(sample).result()
+
+    @property
+    def stats(self):
+        out: Dict[str, int] = {}
+        for s in self._servers:
+            for k, v in s.stats.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    def stop(self):
+        for s in self._servers:
+            s.stop()
+
+
 # ---------------------------------------------------------------------------
 # TCP front-end: length-prefixed pickles (stdlib only).
 # ---------------------------------------------------------------------------
@@ -238,9 +279,9 @@ def _recv_exact(sock, n):
     return buf
 
 
-def serve_tcp(server: InferenceServer, host: str = '127.0.0.1',
+def serve_tcp(server, host: str = '127.0.0.1',
               port: int = 0):
-    """Expose an InferenceServer over TCP; returns the ThreadingTCPServer
+    """Expose an InferenceServer (or ReplicaPool) over TCP; returns the ThreadingTCPServer
     (call .shutdown() to stop; .server_address for the bound port)."""
 
     class Handler(socketserver.BaseRequestHandler):
