@@ -134,8 +134,12 @@ class BackboneConfig:
     # tuple disables compaction everywhere.
     # rematerialize each compact-sampler pass in backward (re-gather) vs
     # storing the gathered/composited residuals (more HBM, skips the
-    # backward re-gather). See the round-3 measurement in rendering.py.
-    ray_remat: bool = True
+    # backward re-gather). Chip-measured at flagship shapes B=1: storing
+    # residuals is 674 ms/step vs 780 with remat (-13.6%), value+grad
+    # bit-identical (tests/test_rendering.py pins both paths). Default is
+    # OFF (store residuals); set True to trade ~100 ms/step for HBM on
+    # memory-constrained setups (larger per-device batch).
+    ray_remat: bool = False
     ray_chunk: int = 8
     ray_pass_fracs: Tuple[float, ...] = (
         1.0, 1.0, 1.0, 0.98, 0.76, 0.62, 0.51, 0.43, 0.23, 0.11, 0.04)
