@@ -132,6 +132,11 @@ def generate_info(nusc, scenes, max_cam_sweeps=6, max_lidar_sweeps=10,
                 if np.any(np.isnan(vel)):
                     vel = np.zeros(3)
                 ai['velocity'] = vel
+                # resolved attribute names (the devkit reads these from the
+                # DB at eval time; the in-repo metric reads them from here)
+                ai['attribute_names'] = [
+                    nusc.get('attribute', t)['name']
+                    for t in ai.get('attribute_tokens', [])]
                 ann_infos.append(ai)
             info['ann_infos'] = ann_infos
             infos.append(info)

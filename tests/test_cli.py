@@ -1,6 +1,8 @@
 """CLI smoke tests: arg parsing + config resolution (no dataset needed)."""
 import dataclasses
+import json
 
+import numpy as np
 import pytest
 
 from vampire_tpu.cli import build_argparser
@@ -74,9 +76,16 @@ def test_cli_debug_fit_and_validate_end_to_end(tmp_path):
     ckpts = list(wd.glob('*/checkpoints/*'))
     assert ckpts, f'no checkpoint written under {wd}'
     cli.main(common + ['-v'])
-    # -t: detection submission json (official NuScenesEval is devkit-gated)
+    # -t: detection submission json + the in-repo NDS/mAP fallback metric
+    # (official NuScenesEval is devkit-gated; the fallback always runs)
     cli.main(common + ['-t'])
-    assert list(wd.glob('*/detection_submit/*.json'))
+    assert list(wd.glob('*/detection_submit/results_nusc.json'))
+    summaries = list(wd.glob('*/detection_submit/metrics_summary.json'))
+    assert summaries, 'in-repo metric did not produce metrics_summary.json'
+    summary = json.loads(summaries[0].read_text())
+    assert np.isfinite(summary['nd_score'])
+    assert np.isfinite(summary['mean_ap'])
+    assert 'car' in summary['label_aps']
     # -p: test-split predict — detection json + per-token lidarseg bins
     shutil.copy(root / 'infos_train.pkl', root / 'nuscenes_infos_test.pkl')
     cli.main(common + ['-p'])

@@ -92,6 +92,7 @@ def make_fake_nusc(root, n_samples: int = 2, n_points: int = 1000,
                           size=[1.9, 4.5, 1.6],
                           rotation=[1.0, 0, 0, 0],
                           velocity=np.array([1.0, 0.5, 0.0]),
+                          attribute_names=['vehicle.moving'],
                           num_lidar_pts=10, num_radar_pts=2),
                      dict(category_name='static.other',  # -> ignore class
                           translation=[90.0, 40.0, 0.0], size=[1, 1, 1],

@@ -152,6 +152,40 @@ class NuscDetSegDataset:
     def __len__(self) -> int:
         return len(self.sample_indices) if self.use_cbgs else len(self.infos)
 
+    def global_gt_boxes(self) -> Dict[str, list]:
+        """Global-frame GT boxes per sample token for the in-repo detection
+        metric (evaluation/nusc_metric.py) — the data the devkit's load_gt
+        reads from the DB: translation/size/rotation/velocity in the global
+        frame, ego_translation relative to the sample's ego pose, num_pts,
+        attribute name (gen_info.py stores `attribute_names` on each ann;
+        absent on older pkls -> '' and AAE falls back to NaN-skip)."""
+        out: Dict[str, list] = {}
+        for info in self.infos:
+            ego = np.asarray(
+                info['lidar_infos']['LIDAR_TOP']['ego_pose']['translation'],
+                np.float64)
+            boxes = []
+            for ann in info['ann_infos']:
+                name = MAP_NAME_GENERAL_TO_DET_SEG.get(ann['category_name'],
+                                                       'ignore')
+                if name not in self.classes:
+                    continue
+                attrs = ann.get('attribute_names', [])
+                tr = np.asarray(ann['translation'], np.float64)
+                boxes.append(dict(
+                    translation=tr.tolist(),
+                    size=list(ann['size']),
+                    rotation=list(ann['rotation']),
+                    velocity=[float(ann['velocity'][0]),
+                              float(ann['velocity'][1])],
+                    detection_name=name,
+                    attribute_name=attrs[0] if attrs else '',
+                    num_pts=int(ann.get('num_lidar_pts', 1))
+                    + int(ann.get('num_radar_pts', 0)),
+                    ego_translation=(tr - ego).tolist()))
+            out[info['sample_token']] = boxes
+        return out
+
     # ------------------------------------------------------------------
     def _sample_ida(self):
         """(:472-499)."""

@@ -121,17 +121,24 @@ class DetNuscEvaluator:
             json.dump({'meta': self.modality, 'results': nusc_annos}, f)
         return res_path
 
-    def evaluate(self, results: List, img_metas: List[dict]
+    def evaluate(self, results: List, img_metas: List[dict],
+                 gt_boxes: Optional[Dict[str, list]] = None
                  ) -> Optional[dict]:
         """Write submission, then run official NuScenesEval if the devkit and
-        dataset are available (det_evaluators.py:61-117). Returns the metric
-        detail dict or None when the devkit is unavailable."""
+        dataset are available (det_evaluators.py:61-117). Without the devkit,
+        falls back to the in-repo numpy metric (evaluation/nusc_metric.py)
+        when the caller supplies `gt_boxes` (global-frame GT per token, as
+        built by NuscDetSegDataset.global_gt_boxes). Returns the metric
+        detail dict or None when neither path can run."""
         result_path = self.format_bbox(results, img_metas)
         try:
             from nuscenes import NuScenes
             from nuscenes.eval.detection.config import config_factory
             from nuscenes.eval.detection.evaluate import NuScenesEval
         except ImportError:
+            if gt_boxes is not None:
+                return self._evaluate_inrepo(result_path, img_metas,
+                                             gt_boxes)
             print(f'nuscenes-devkit unavailable; submission written to '
                   f'{result_path}')
             return None
@@ -158,6 +165,55 @@ class DetNuscEvaluator:
         detail[f'{prefix}/NDS'] = metrics['nd_score']
         detail[f'{prefix}/mAP'] = metrics['mean_ap']
         print(f"NDS: {metrics['nd_score']:.4f}  mAP: {metrics['mean_ap']:.4f}")
+        return detail
+
+    def _evaluate_inrepo(self, result_path: str, img_metas: List[dict],
+                         gt_boxes: Dict[str, list]) -> dict:
+        """Devkit-free metric: read the just-written submission back (so the
+        scored boxes are exactly the submitted ones), attach per-box ego
+        distances from the sample's ego pose, and run
+        nusc_metric.evaluate_detection. Writes metrics_summary.json with the
+        devkit's structure."""
+        from .nusc_metric import evaluate_detection
+        with open(result_path) as f:
+            sub = json.load(f)['results']
+        ego_by_token = {m['token']: np.asarray(m['ego2global_translation'],
+                                               np.float64)
+                        for m in img_metas}
+        pred_by_token: Dict[str, list] = {}
+        for token, annos in sub.items():
+            ego = ego_by_token.get(token)
+            boxes = []
+            for a in annos:
+                b = dict(a)
+                if ego is not None:
+                    b['ego_translation'] = (
+                        np.asarray(a['translation']) - ego).tolist()
+                boxes.append(b)
+            pred_by_token[token] = boxes
+        metrics = evaluate_detection(gt_boxes, pred_by_token,
+                                     self.class_names)
+        summary_path = os.path.join(self.output_dir, 'metrics_summary.json')
+        with open(summary_path, 'w') as f:
+            json.dump(dict(
+                label_aps=metrics['label_aps'],
+                label_tp_errors=metrics['label_tp_errors'],
+                tp_errors=metrics['tp_errors'],
+                mean_ap=metrics['mean_ap'], nd_score=metrics['nd_score']),
+                f, default=float)
+        detail = {}
+        prefix = 'img_bbox_NuScenes'
+        for cls in self.class_names:
+            for k, v in metrics['label_aps'][cls].items():
+                detail[f'{prefix}/{cls}_AP_dist_{k}'] = round(float(v), 4)
+            for k, v in metrics['label_tp_errors'][cls].items():
+                detail[f'{prefix}/{cls}_{k}'] = round(float(v), 4)
+        for k, v in metrics['tp_errors'].items():
+            detail[f'{prefix}/{ERR_NAME_MAPPING[k]}'] = round(float(v), 4)
+        detail[f'{prefix}/NDS'] = metrics['nd_score']
+        detail[f'{prefix}/mAP'] = metrics['mean_ap']
+        print(f"[in-repo metric] NDS: {metrics['nd_score']:.4f}  "
+              f"mAP: {metrics['mean_ap']:.4f}")
         return detail
 
 

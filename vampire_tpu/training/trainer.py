@@ -427,7 +427,10 @@ class Trainer:
             output_dir=os.path.join(self.workdir, 'detection_submit'),
             data_root=cfg.train.data_root,
             version=cfg.train.nusc_version)
-        evaluator.evaluate(results, metas)
+        # devkit-free fallback GT (in-repo NDS/mAP) from the loader's infos
+        gt = getattr(test_loader, 'dataset', None)
+        gt = gt.global_gt_boxes() if gt is not None else None
+        evaluator.evaluate(results, metas, gt_boxes=gt)
 
     def _test_vis(self, loader, state: TrainState, params=None) -> None:
         """--vis dumps (base_exp.py:678-708): per-frame pickles of the input
