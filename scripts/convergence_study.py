@@ -26,6 +26,11 @@ def main():
     ap.add_argument('--steps', type=int, default=150)
     ap.add_argument('--batches', type=int, default=4)
     ap.add_argument('--out', default='scripts/convergence_study.json')
+    # 'consistent' = geometrically consistent procedural scene (r4): every
+    # active loss term must be LEARNABLE, so a non-decreasing term is a bug.
+    # 'noise' = the r1-r3 i.i.d.-label batch (kept for comparison).
+    ap.add_argument('--data', choices=['consistent', 'noise'],
+                    default='consistent')
     args = ap.parse_args()
 
     import jax
@@ -33,7 +38,7 @@ def main():
     from vampire_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     from vampire_tpu.configs import flagship_config
-    from vampire_tpu.data.synthetic import synthetic_batch
+    from vampire_tpu.data.synthetic import consistent_batch, synthetic_batch
     from vampire_tpu.models.vampire import Vampire
     from vampire_tpu.training.train_state import create_train_state
     from vampire_tpu.training.train_step import build_train_step, split_mats
@@ -42,8 +47,9 @@ def main():
     model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
     batches = []
     for i in range(args.batches):
-        b = synthetic_batch(cfg, batch_size=1, n_points=cfg.train.max_points,
-                            seed=i, mode='train')
+        make = consistent_batch if args.data == 'consistent' else synthetic_batch
+        b = make(cfg, batch_size=1, n_points=cfg.train.max_points,
+                 seed=i, mode='train')
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
 
     variables = jax.jit(lambda: model.init(

@@ -59,7 +59,7 @@ def main():
 
     f_take = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
     for name, ii in (('random', idx), ('sorted', idx_sorted)):
-        t = timeit(f_take, [(table, ii), (table, ii + 1)])
+        t = timeit(f_take, [(table, ii), (table, (ii + 1) % R)])
         print(f'xla take {name:18s}: {t*1e3:7.2f} ms '
               f'{t/Q*1e9:7.2f} ns/row', flush=True)
 

@@ -1,4 +1,8 @@
-"""Scaled, fetch-corrected sweep of the pipelined row-DMA gather that
+"""SUPERSEDED by scripts/perf_r4_dma_scale.py (r4): this sweep's
+single-dispatch fetch-corrected timings are noise for ~1 ms kernels, and its
+scalar-prefetch index transport caps Q at the SMEM budget.
+
+Scaled, fetch-corrected sweep of the pipelined row-DMA gather that
 perf_r3_dma_bisect.py proved functional (the first working non-take gather
 on this toolchain).
 
@@ -82,7 +86,6 @@ def main():
     import jax.numpy as jnp
 
     Q = 1 << 20
-    FETCH = None  # measured below
 
     for (W, dtype, tag) in ((128, jnp.float32, 'f32 w128 512B'),
                             (176, jnp.bfloat16, 'bf16 w176 352B')):
@@ -108,12 +111,12 @@ def main():
             BQ = 4096
             try:
                 f = make_dma_gather(Q, BQ, W, depth, dtype)
-                got = np.asarray(f(idx_rand, table)[:256].astype(jnp.float32))
-                want = np.asarray(
-                    f_take(table, idx_rand[:256]).astype(jnp.float32))
-                ok = np.allclose(got, want, atol=1e-6)
                 for iname, ii in (('random', idx_rand), ('sorted', idx_sort),
                                   ('coherent', idx_coh)):
+                    got = np.asarray(f(ii, table)[:256].astype(jnp.float32))
+                    want = np.asarray(
+                        f_take(table, ii[:256]).astype(jnp.float32))
+                    ok = np.allclose(got, want, atol=1e-6)
                     t = bench(f, (ii, table))
                     print(f'  dma d={depth:2d} {iname:9s}     : '
                           f'{t*1e3:8.2f} ms {t/Q*1e9:7.1f} ns/row'

@@ -18,9 +18,12 @@ def main():
     ap.add_argument('--ray-fracs', action='store_true',
                     help='enable the length-sorted compact ray sampler '
                          '(train-mode) with the measured flagship curve')
-    ap.add_argument('--no-ray-remat', action='store_true',
-                    help='store the compact sampler residuals instead of '
-                         're-gathering in backward')
+    ap.add_argument('--ray-remat', choices=['on', 'off', 'config'],
+                    default='config',
+                    help="on = re-gather in backward, off = store the "
+                         "compact sampler residuals, config = the shipped "
+                         "default (False since 75f353c) — keeps BOTH paths "
+                         "benchmarkable for the A/B the config cites")
     args = ap.parse_args()
 
     import jax
@@ -41,9 +44,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, backbone=dataclasses.replace(cfg.backbone,
                                               ray_pass_fracs=fr))
-    if args.no_ray_remat:
+    if args.ray_remat != 'config':
         cfg = dataclasses.replace(
-            cfg, backbone=dataclasses.replace(cfg.backbone, ray_remat=False))
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone, ray_remat=args.ray_remat == 'on'))
     model = Vampire(cfg.backbone, cfg.head, dtype=jnp.bfloat16)
     batch = synthetic_batch(cfg, batch_size=args.batch,
                             n_points=cfg.train.max_points, seed=0,

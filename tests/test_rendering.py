@@ -206,8 +206,9 @@ def test_compact_rays_match_dense():
                                            rtol=2e-5, atol=2e-5,
                                            err_msg=f'{name} fracs={fracs}')
 
-    # remat=False (store residuals instead of re-gathering in backward) is
-    # bit-identical in value AND gradient to the default remat=True path
+    # remat=True (re-gather in backward) is bit-identical in value AND
+    # gradient to the default remat=False path (stores residuals; chip A/B
+    # 674 vs 780 ms/step made False the default)
     def loss(tb, remat):
         outs = R.sample_and_composite_rays_compact(
             tb, (Z, Y, X), K, prefix_coords, prefix_valid, delta, mids,

@@ -14,8 +14,17 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 
 def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> str:
-    """Idempotently point JAX's persistent compilation cache at cache_dir."""
+    """Idempotently point JAX's persistent compilation cache at cache_dir.
+
+    No-op on the CPU backend: XLA:CPU persists AOT executables stamped with
+    the *compile-time* feature tuning (+prefer-no-gather etc.); reloading them
+    trips cpu_aot_loader feature-mismatch errors and has been observed to wedge
+    collective rendezvous threads (16-device dryrun: 9/16 threads arrive, Gloo
+    init DEADLINE_EXCEEDED). TPU executables round-trip cleanly.
+    """
     import jax
+    if jax.devices()[0].platform == 'cpu':
+        return cache_dir
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
