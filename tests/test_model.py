@@ -112,6 +112,57 @@ def test_decode_shapes(setup):
         assert d['valid'].dtype == jnp.bool_
 
 
+def test_multisweep_single_frame_parity(setup):
+    """The (B, F=1, N, ...) multi-frame layout is BIT-identical to the
+    squeezed (B, N, ...) layout (field.py multi-sweep contract)."""
+    cfg, model, batch, mats, variables, fwd, fo, preds = setup
+    imgs_f = batch['imgs'][:, None]
+    mats_f = dict(mats, **{k: mats[k][:, None]
+                           for k in ('sensor2ego', 'intrin', 'ida')})
+    fo2, preds2 = fwd(variables, imgs_f, mats_f, points=batch['points'])
+    for k, v in fo.items():
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(fo2[k]), k)
+    for p, p2 in zip(preds, preds2):
+        for k in p:
+            np.testing.assert_array_equal(np.asarray(p[k]),
+                                          np.asarray(p2[k]), k)
+
+
+def test_multisweep_two_frames(setup):
+    """num_sweeps=2 temporal fusion forward (VERDICT r3 #5; the reference
+    raises NotImplementedError at base_vampire2.py:690-693 — this is our
+    design: sweep frames fold into the camera axis and fuse through the
+    masked camera mean).
+
+    A sweep frame that DUPLICATES the key frame doubles both the masked-mean
+    numerator and denominator, so the fused field must match the
+    single-frame forward (up to the 1e-6 denominator epsilon); losses over
+    the multi-frame batch must slice the key frame's labels and stay finite.
+    """
+    cfg, model, batch, mats, variables, fwd, fo, preds = setup
+    imgs_f = jnp.concatenate([batch['imgs'][:, None]] * 2, axis=1)
+    mats_f = dict(mats, **{
+        k: jnp.concatenate([mats[k][:, None]] * 2, axis=1)
+        for k in ('sensor2ego', 'intrin', 'ida')})
+    fo2, preds2 = fwd(variables, imgs_f, mats_f, points=batch['points'])
+    for k in ('depth_preds', 'occ_logits', 'bev_seg_logits_preds',
+              'pts_logits', 'bev_feature'):
+        np.testing.assert_allclose(np.asarray(fo[k]), np.asarray(fo2[k]),
+                                   rtol=2e-4, atol=2e-4, err_msg=k)
+    # multi-frame batch through the loss stack (labels carry a frame axis)
+    batch_f = dict(batch, imgs=imgs_f,
+                   depth_labels=jnp.concatenate(
+                       [batch['depth_labels'][:, None]] * 2, axis=1),
+                   seg_labels=jnp.concatenate(
+                       [batch['seg_labels'][:, None]] * 2, axis=1))
+    total, logs = jax.jit(lambda fo_, preds_: compute_losses(
+        fo_, preds_, batch_f, cfg.train, cfg.head,
+        cfg.backbone.sdf_bias))(fo2, preds2)
+    assert np.isfinite(float(total))
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_coverage_diagnostics_sown(setup):
     """ADVICE r2: the block-compacted lift and the early-termination ray
     sampler sow coverage-violation counters under the 'diagnostics'

@@ -19,6 +19,14 @@ def test_corner_table_variants_identical():
     a = np.asarray(PT._corner_table_xla(vol))
     b = np.asarray(PT._corner_table_xla_pairwise(vol))
     assert np.array_equal(a, b)
+    # one-hot MXU conv variant: fp32 accumulate of value x 1.0 is exact
+    c = np.asarray(PT._corner_table_conv(vol))
+    assert np.array_equal(a, c)
+    # bf16 in -> bf16 out must round-trip bit-exactly through the conv too
+    vb = vol.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(PT._corner_table_conv(vb)).view(np.uint16),
+        np.asarray(PT._corner_table_xla(vb)).view(np.uint16))
     # and both equal the historical build_neighborhood_table row layout
     t = np.asarray(S.build_neighborhood_table(vol))
     assert np.array_equal(a.reshape(t.shape[0], 2, 2, 2, 6), t)
@@ -42,6 +50,8 @@ def test_lift_table_variants_identical_and_vjp():
     a = np.asarray(PT._lift_table_xla(depth, feat))
     b = np.asarray(PT._lift_table_xla_pairwise(depth, feat))
     assert np.array_equal(a, b)
+    c = np.asarray(PT._lift_table_conv(depth, feat))
+    assert np.array_equal(a, c)
 
     w = jnp.asarray(rng.randn(*a.shape).astype(np.float32))
     ga = jax.grad(lambda d, f: jnp.sum(PT._lift_table_xla(d, f) * w),

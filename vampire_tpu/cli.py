@@ -108,6 +108,7 @@ def main(argv=None):
             ida_aug=cfg.ida_aug, bda_aug=cfg.bda_aug,
             classes=list(DET_CLASSES), data_root=data_root, info_paths=info,
             head_cfg=cfg.head, mode=mode,
+            sweep_idxes=cfg.train.sweep_idxes,
             max_points=cfg.train.max_points, seed=args.seed,
             seg_bounds=(cfg.backbone.x_bound_seg, cfg.backbone.y_bound_seg,
                         cfg.backbone.z_bound_seg))

@@ -330,6 +330,13 @@ class TrainConfig:
     # download it, so the weights file must be provided). '' = random init,
     # announced once at init_state.
     pretrained_backbone: str = ''
+    # temporal sweep-frame indexes into the infos' cam_sweeps history
+    # (data pipeline; nusc_det_seg_dataset.py:817-837 sweeps_idx). Non-empty
+    # makes the loader emit (B, 1+len, N, ...) multi-frame batches that the
+    # model fuses through the lift's masked camera mean (field.py __call__
+    # multi-sweep notes; the reference's num_sweeps>1 forward is
+    # NotImplementedError, base_vampire2.py:690-693).
+    sweep_idxes: Tuple[int, ...] = ()
 
     @property
     def lr(self) -> float:

@@ -476,21 +476,47 @@ class FieldBackbone(nn.Module):
     def __call__(self, imgs: jnp.ndarray, mats: Dict[str, jnp.ndarray],
                  points: Optional[jnp.ndarray] = None,
                  train: bool = False) -> Dict[str, jnp.ndarray]:
-        """Forward for the key frame.
+        """Forward for the key frame (+ optional temporal sweep frames).
 
         Args:
-          imgs: (B, N, H, W, 3) normalized key-frame images.
-          mats: dict with 'sensor2ego'/'intrin'/'ida' (B, N, 4, 4) and
-            'bda' (B, 4, 4) — the key-sweep slices of the reference mats_dict.
+          imgs: (B, N, H, W, 3) normalized key-frame images, or
+            (B, F, N, H, W, 3) with sweep frames at dim 1, frame 0 = key
+            (data/nuscenes.py stack_frames layout).
+          mats: dict with 'sensor2ego'/'intrin'/'ida' (B, [F,] N, 4, 4) and
+            'bda' (B, 4, 4) — the reference mats_dict slices.
           points: optional (B, P, 3) padded ego-frame query points.
           train: BN mode.
+
+        Multi-sweep temporal fusion (the reference raises
+        NotImplementedError for num_sweeps > 1, base_vampire2.py:690-693;
+        this path is our design — see DEVIATIONS): the dataset composes every
+        frame's sensor2ego into the KEY ego frame (sweepsensor2keyego,
+        data/nuscenes.py:297), so a sweep camera is simply another
+        ego-motion-compensated view of the key-frame field. Frames therefore
+        fold into the camera axis — one batched encoder pass over F*N images
+        (wider MXU batches, no second warp/resample pass, one live voxel
+        volume) and the masked camera mean (base_vampire2.py:509-515) fuses
+        all F*N views. Dynamic objects are uncorrected, like any flow-free
+        warp fusion. Renders/queries use the key frame only; F == 1 in the
+        multi-frame layout is bit-identical to the squeezed layout.
 
         Returns a dict mirroring the reference 12-tuple
         (base_vampire2.py:637-649).
         """
         c = self.cfg
-        B, N, H, W, _ = imgs.shape
-        feats = self._get_cam_feats(imgs.reshape(B * N, H, W, 3), train)
+        if imgs.ndim == 6:
+            B, F, N, H, W, _ = imgs.shape
+            imgs = imgs.reshape(B, F * N, H, W, 3)
+            lift_mats = dict(mats, **{
+                k: mats[k].reshape(B, F * N, 4, 4)
+                for k in ('sensor2ego', 'intrin', 'ida')})
+            key_mats = dict(mats, **{k: mats[k][:, 0]
+                                     for k in ('sensor2ego', 'intrin', 'ida')})
+        else:
+            lift_mats = key_mats = mats
+        B, NT, H, W, _ = imgs.shape                # NT = F * N views
+        N = key_mats['sensor2ego'].shape[1]        # key-frame cameras
+        feats = self._get_cam_feats(imgs.reshape(B * NT, H, W, 3), train)
         h, w = feats.shape[1:3]
 
         if c.variant != 'bilinear':
@@ -500,10 +526,10 @@ class FieldBackbone(nn.Module):
         else:
             depth = None
         low = self.channel_lower(feats)
-        depth = None if depth is None else depth.reshape(B, N, h, w, -1)
-        low = low.reshape(B, N, h, w, -1)
+        depth = None if depth is None else depth.reshape(B, NT, h, w, -1)
+        low = low.reshape(B, NT, h, w, -1)
 
-        voxel_feats = self._lift(depth, low, mats)               # fp32
+        voxel_feats = self._lift(depth, low, lift_mats)          # fp32
         if c.cat_pos:
             pos = jnp.broadcast_to(self.norm_voxel_coords[None],
                                    (B,) + self.norm_voxel_coords.shape)
@@ -544,9 +570,9 @@ class FieldBackbone(nn.Module):
         occ_logits, occ_density = self._query_occ(seg_vol, sdf_vol,
                                                   mats.get('bda'))
 
-        geom_xyz = G.get_geometry(self.frustum, mats['sensor2ego'],
-                                  mats['intrin'], mats['ida'],
-                                  mats.get('bda'))
+        geom_xyz = G.get_geometry(self.frustum, key_mats['sensor2ego'],
+                                  key_mats['intrin'], key_mats['ida'],
+                                  key_mats.get('bda'))
         (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height, bev_density,
          vox_out) = self._render(geom_xyz, fused, tables, base_f32,
                                  train=train)

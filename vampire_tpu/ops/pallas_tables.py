@@ -109,6 +109,68 @@ def _corner_table_pallas(vol: jnp.ndarray, ty: int = 16) -> jnp.ndarray:
     return out
 
 
+def _one_hot_corner_kernel(C: int, dtype) -> jnp.ndarray:
+    """(2, 2, 2, C, 8*C) DHWIO kernel with K[dz,dy,dx,c, corner*C+c] = 1."""
+    import numpy as np
+    k = np.zeros((2, 2, 2, C, 8 * C), jnp.dtype(dtype).name)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corner = (dz * 2 + dy) * 2 + dx
+                for c in range(C):
+                    k[dz, dy, dx, c, corner * C + c] = 1
+    return jnp.asarray(k)
+
+
+def _corner_table_conv(vol: jnp.ndarray) -> jnp.ndarray:
+    """Identical table via a one-hot 2x2x2 conv: the 8-way shifted-slice
+    concat IS a convolution with a permutation kernel, and XLA's TPU conv
+    emitter streams output through the MXU pipeline instead of the slow
+    minor-axis concat shuffle. Exact: each output element is one bf16 value
+    x 1.0 accumulated in fp32 (preferred_element_type), cast back — a
+    bit-exact round trip. ~90 GFLOP of 'wasted' MACs at flagship shape is
+    ~0.5 ms of MXU time, far below the concat's measured bandwidth loss."""
+    D, H, W, C = vol.shape
+    p = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    out = jax.lax.conv_general_dilated(
+        p[None], _one_hot_corner_kernel(C, vol.dtype), (1, 1, 1), 'VALID',
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)
+    return out[0].astype(vol.dtype)
+
+
+def _one_hot_block2d_kernel(C: int, dtype) -> jnp.ndarray:
+    """(2, 2, C, 4*C) HWIO kernel with K[dy,dx,c, blk*C+c] = 1."""
+    import numpy as np
+    k = np.zeros((2, 2, C, 4 * C), jnp.dtype(dtype).name)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            blk = dy * 2 + dx
+            for c in range(C):
+                k[dy, dx, c, blk * C + c] = 1
+    return jnp.asarray(k)
+
+
+def _lift_table_conv(depth: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+    """One-hot-conv construction of the lift table (see _corner_table_conv)."""
+    D, H, W = depth.shape
+    C = feat.shape[-1]
+    dt = jnp.result_type(depth, feat)
+    dp = jnp.pad(depth.astype(dt)[..., None],
+                 ((1, 1), (1, 1), (1, 1), (0, 0)))
+    dtab = jax.lax.conv_general_dilated(
+        dp[None], _one_hot_corner_kernel(1, dt), (1, 1, 1), 'VALID',
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)[0].astype(dt)
+    fp = jnp.pad(feat.astype(dt), ((1, 1), (1, 1), (0, 0)))
+    fblk = jax.lax.conv_general_dilated(
+        fp[None], _one_hot_block2d_kernel(C, dt), (1, 1), 'VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)[0].astype(dt)
+    ftab = jnp.broadcast_to(fblk[None], (D + 1,) + fblk.shape)
+    return jnp.concatenate([dtab, ftab], axis=-1)
+
+
 def _corner_table_xla_pairwise(vol: jnp.ndarray) -> jnp.ndarray:
     """Identical table via three 2-operand interleaves (x, then y, then z
     pairs) instead of one 8-way strided concat. Writes 1.75x the final
@@ -178,6 +240,8 @@ def corner_table(vol: jnp.ndarray) -> jnp.ndarray:
         return _corner_table_pallas(vol)
     if _xla_variant() == 'pairwise':
         return _corner_table_xla_pairwise(vol)
+    if _xla_variant() == 'conv':
+        return _corner_table_conv(vol)
     return _corner_table_xla(vol)
 
 
@@ -289,6 +353,8 @@ def lift_table(depth: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         return _lift_table_pallas(depth, feat)
     if _xla_variant() == 'pairwise':
         return _lift_table_xla_pairwise(depth, feat)
+    if _xla_variant() == 'conv':
+        return _lift_table_conv(depth, feat)
     return _lift_table_xla(depth, feat)
 
 

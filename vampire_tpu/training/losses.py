@@ -62,6 +62,15 @@ def compute_losses(field_out: Dict[str, jnp.ndarray],
     tw = train_cfg.task_weights
     lw = train_cfg.loss_weights
 
+    # multi-frame batches carry a frame axis at dim 1 (data/nuscenes.py
+    # stack_frames); the model renders only the KEY frame (frame 0), so the
+    # camera-view supervision uses its labels — sweep frames contribute
+    # through the lift fusion, not through renders of their own
+    if batch['imgs'].ndim == 6:
+        batch = dict(batch, imgs=batch['imgs'][:, 0],
+                     depth_labels=batch['depth_labels'][:, 0],
+                     seg_labels=batch['seg_labels'][:, 0])
+
     # --- detection (base_exp.py:340-345) ---
     det_loss = detection_loss(det_preds, batch, head_cfg, num_devices)
     logs['detection_loss'] = det_loss

@@ -308,7 +308,10 @@ class Trainer:
         step = int(state.step)
         d = os.path.join(self.workdir, 'panels')
         os.makedirs(d, exist_ok=True)
-        gt = np.asarray(denormalize_images(dev_batch['imgs'][:1]))[0]
+        gt_imgs = dev_batch['imgs']
+        if gt_imgs.ndim == 6:        # multi-sweep batch: panel the key frame
+            gt_imgs = gt_imgs[:, 0]
+        gt = np.asarray(denormalize_images(gt_imgs[:1]))[0]
         panels = {
             'rgb_gts': tile_cameras((np.clip(gt, 0, 1) * 255).astype(np.uint8)),
             'rgb_preds': tile_cameras(
@@ -464,7 +467,10 @@ class Trainer:
         for batch in loader:
             dev = self._to_device(batch)
             out = jax.device_get(step(params, state.batch_stats, dev))
-            rgb = np.asarray(denormalize_images(dev['imgs']))
+            vis_imgs = dev['imgs']
+            if vis_imgs.ndim == 6:   # multi-sweep batch: dump the key frame
+                vis_imgs = vis_imgs[:, 0]
+            rgb = np.asarray(denormalize_images(vis_imgs))
             sv = np.asarray(batch.get('sample_valid',
                                       np.ones(rgb.shape[0], bool)))
             for b in range(rgb.shape[0]):
