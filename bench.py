@@ -140,7 +140,7 @@ def main():
         lats.append(time.perf_counter() - t0)
     latency_ms = min(lats) * 1000.0
 
-    baseline_a100_fps = 5.0  # documented placeholder (see module docstring)
+    baseline_a100_fps = 5.0  # kept for BENCH_r01-r03 series comparability
     print(json.dumps({
         'metric': '6-cam 256x704 multi-task inference frames/sec/chip',
         'value': round(fps, 3),
@@ -149,6 +149,12 @@ def main():
         'methodology': '2-deep pipelined throughput over 10 frames '
                        '(device busy end-to-end; host fetch overlapped)',
         'single_frame_latency_ms': round(latency_ms, 1),
+        # round-4 calibration (BASELINE.md "Denominator calibration",
+        # scripts/baseline_denominator.py): bottom-up A100 bracket from
+        # measured FLOPs/op-counts/dispatch overhead. The 5.0 denominator
+        # is likely favorable to this repo by ~2-6x; vs_baseline above is
+        # a series-consistent figure, not a calibrated multiplier.
+        'a100_fps_bracket': [20.3, 64.7],
     }))
 
 

@@ -60,12 +60,64 @@ _ELEMENTWISE = ('add', 'sub', 'mul', 'div', 'relu', 'sigmoid', 'tanh',
                 'rsub', 'silu', 'gelu', 'hardtanh', 'copy_', 'cat')
 
 
+def _make_resnet50():
+    """Textbook bottleneck ResNet-50 trunk in plain torch (torchvision is
+    not installed here; the reference's mm ResNet-50 has the identical op
+    graph for the purposes of FLOP/op counting — stem + 4 stages of
+    [3, 4, 6, 3] bottlenecks, no fc/avgpool like the reference's
+    out_indices tap)."""
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, mid, stride):
+            super().__init__()
+            cout = mid * 4
+            self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.down is None else self.down(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return self.relu(y + idn)
+
+    class R50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            import torch.nn as nn
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+                nn.ReLU(inplace=True), nn.MaxPool2d(3, 2, 1))
+            blocks = []
+            cin = 64
+            for mid, n, stride in ((64, 3, 1), (128, 4, 2),
+                                   (256, 6, 2), (512, 3, 2)):
+                for i in range(n):
+                    blocks.append(Bottleneck(cin, mid, stride if i == 0
+                                             else 1))
+                    cin = mid * 4
+            self.blocks = nn.Sequential(*blocks)
+
+        def forward(self, x):
+            return self.blocks(self.stem(x))
+
+    return R50()
+
+
 def profile_resnet50(batch: int = 6, hw=(256, 704)):
-    """torchvision r50 (reference backbone twin) at the real input shape."""
-    import torchvision
-    model = torchvision.models.resnet50()
-    # the reference taps stages via out_indices and has no fc/avgpool cost;
-    # keep them (their cost is ~0) — op/FLOP parity within noise
+    """r50 trunk (reference backbone twin) at the real input shape."""
+    model = _make_resnet50()
     model.eval()
     x = torch.randn(batch, 3, hw[0], hw[1])
     with torch.no_grad():
@@ -102,16 +154,14 @@ def stage_flops():
     """Exact MAC arithmetic for the non-resnet stages (shapes from
     SURVEY.md §3.1 / base_exp.py configs). Returns GFLOP (2x MAC)."""
     N = 6
-    h, w = 64, 176
+    # FPN/depth/context all live at 1/8 scale (32, 88): ResNet C2..C5 are
+    # (64,176)/(32,88)/(16,44)/(8,22) and upsample_strides (0.5,1,2,4)
+    # land every scale on (32,88) (verified by instantiating our FPN)
+    h, w = 32, 88
     out = {}
-    # SECONDFPN: 4 deconv scales -> 128ch each at (64,176), concat 512
-    # (base_exp.py:75-89): upsample_strides [0.5,1,2,4] from channels
-    # [256,512,1024,2048]; deconv k=stride (or conv k3 for 0.5)
     fpn = 0
-    for cin, s, hw_in in ((256, 0.5, (128, 352)), (512, 1, (64, 176)),
-                          (1024, 2, (32, 88)), (2048, 4, (16, 44))):
-        k = max(int(round(1 / s)), int(s)) if s != 1 else 1
-        # transposed conv MACs = cin*cout*k*k*h_out*w_out (stride cancels)
+    for cin, k in ((256, 2), (512, 1), (1024, 2), (2048, 4)):
+        # (transposed) conv MACs = cin*cout*k*k*h_out*w_out
         fpn += cin * 128 * k * k * h * w
     out['second_fpn'] = 2 * fpn * N / 1e9
     # depth head 512->86 k3 + context 512->16 k3 (base_vampire2.py:171-176)

@@ -220,9 +220,9 @@ def build_neighborhood_table(vol: jnp.ndarray) -> jnp.ndarray:
     layout is [c000|c001|...|c111] in (dz, dy, dx)-major corner order.
 
     Construction is delegated to ops.pallas_tables.corner_table (selectable
-    pairwise-interleave / 8-way-concat / Pallas streaming variants, all
-    byte-identical; the build is ~25 ms/frame at flagship shapes so its
-    lowering matters).
+    8-way-concat / pairwise / one-hot-conv / Pallas streaming variants, all
+    byte-identical; the 8-way default measures ~4.9 ms at flagship shapes,
+    ~100 GB/s out — see ops/pallas_tables.py for the r4 variant shootout).
     """
     from ..ops.pallas_tables import corner_table
     D, H, W, C = vol.shape

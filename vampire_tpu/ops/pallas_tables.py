@@ -1,17 +1,24 @@
-"""Pallas streaming builders for the trilinear corner-block gather tables.
+"""Builders for the trilinear corner-block gather tables (4 variants).
 
 The fused samplers (`core/sampling.py`) gather ONE table row per query, where
 row (bz, by, bx) holds the full 2x2x2 corner footprint of the zero-padded
-volume. Building that table in XLA — a channel-axis concat of 8 shifted
-slices — measures ~26 GB/s on TPU v5e (scripts/perf_lift_parts.py,
-perf_breakdown.py 'raytable'): the interleaved minor-axis writes defeat XLA's
-fusion, costing ~25 ms/frame for the ray table + ~33 ms for the six lift
-tables, two of the largest line items of the inference frame.
+volume.
 
-These kernels write the identical tables as a streaming copy: grid over
-(z-plane, y-tile), one small DMA window in, one VPU lane-concat, one block
-out. Byte-identical to the XLA path (it is pure data movement), pinned by
-tests/test_pallas_tables.py; non-TPU backends fall back to the XLA build.
+Measured build costs at flagship shapes, TPU v5e, in-jit K-rep timing that
+divides away the ~25-30 ms axon fetch constant (scripts/perf_r4_tables.py,
+round 4 — SUPERSEDES the r3 single-dispatch figures of ~25 ms ray +
+~33 ms lift, which were fetch noise):
+
+  corner (20,256,256,22)->488 MB : 8-way 4.9 ms | pairwise 4.6 |
+                                   one-hot MXU conv 8.5 | pallas stream 10.8
+  lift (86,64,176)x16 ->144 MB   : 8-way ~0.3 ms | pairwise 0.3 |
+                                   conv 1.9 | pallas MosaicError
+
+The XLA 8-way concat is therefore already near-optimal (~100 GB/s out) and
+stays the default; the Pallas streaming kernels and the one-hot-conv trick
+are retained as measured negative results (VERDICT r3 #6: "un-gate or
+retire" — retired by data; they also twice correlated with a wedged device,
+see _use_pallas). All variants are byte-identical (tests/test_tables.py).
 
 Backwards: the table build is linear; the VJP (sum of 8 shifted slices of
 the cotangent) runs as plain XLA, which handles slice-sum reads at full

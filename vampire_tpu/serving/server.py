@@ -213,11 +213,15 @@ def _now():
 class ReplicaPool:
     """Round-robin front-end over several InferenceServer replicas.
 
-    The measured serving optimum on v5e is micro-batch 1 per chip
-    (scripts/perf_r3_batch.py: B=2 is super-linear), so throughput scales by
-    REPLICATING chips — one InferenceServer per chip/process — and fanning
-    requests out. The pool exposes the same submit/infer surface as a single
-    server, so `serve_tcp(ReplicaPool([...]))` works unchanged.
+    The measured serving optimum on v5e is micro-batch 1 per chip: B=2 runs
+    +36%/frame super-linear, root-caused in scripts/perf_r4_batch2.py — NOT
+    HBM spill (temps scale exactly 2x, 3.65 GB << 16 GB) but (a) the row
+    gather engine losing ~20%/row with the doubled HBM-resident table set
+    (10.4 -> 12.5 ns/row in isolation) and (b) XLA switching fusion
+    strategies at B=2. So throughput scales by REPLICATING chips — one
+    InferenceServer per chip/process — and fanning requests out. The pool
+    exposes the same submit/infer surface as a single server, so
+    `serve_tcp(ReplicaPool([...]))` works unchanged.
     """
 
     def __init__(self, servers: Sequence[InferenceServer]):
