@@ -8,6 +8,12 @@ strongest end-to-end training-correctness signal available here: every head
 must learn ITS targets through the shared field, and any gradient-path bug
 (dead branch, wrong mask, sign flip) shows up as a non-decreasing term.
 
+With --data consistent (default) the study finishes with an END-TO-END
+detection eval: the overfit model is decoded through the real test chain
+(decode_preds -> circle NMS -> global-frame submission -> in-repo NDS/mAP)
+and scored against the procedural scene's GT boxes — proof that learned
+heatmaps decode into MATCHABLE boxes, not just that losses go down.
+
 Run: python scripts/convergence_study.py [--steps 150] [--batches 4]
 Writes scripts/convergence_study.json and prints first/last losses.
 """
@@ -93,9 +99,77 @@ def main():
         summary[k] = dict(first=round(first, 4), last=round(last, 4),
                           ratio=round(last / first, 4) if first else None)
         print(f'{k:28s} {first:10.4f} -> {last:10.4f}')
+    # ---- end-to-end detection metric on the overfit scenes (r4) ----
+    # Losses decreasing proves gradients flow; this proves the learned
+    # heatmaps actually DECODE into matchable boxes through the SAME
+    # post-processing chain the real eval uses (trainer._test):
+    # decode_preds -> circle NMS -> global-frame submission ->
+    # in-repo NDS/mAP (evaluation/nusc_metric.py) vs the scene's GT.
+    det_eval = None
+    if args.data == 'consistent':
+        import tempfile
+        from vampire_tpu.models.centerpoint_head import decode_preds
+        from vampire_tpu.evaluation.det_evaluator import (DetNuscEvaluator,
+                                                          apply_circle_nms)
+
+        @jax.jit
+        def det_step(params, batch_stats, batch):
+            mats = split_mats(batch)
+            _, preds = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                batch['imgs'], mats, points=batch['points'], train=False)
+            return decode_preds(preds, cfg.head)
+
+        results, metas, gt_by_token = [], [], {}
+        for i, b in enumerate(batches):
+            out = jax.device_get(det_step(state.params, state.batch_stats, b))
+            results.append(apply_circle_nms(out, cfg.head, 0))
+            token = f'scene{i}'
+            metas.append(dict(token=token,
+                              ego2global_rotation=[1.0, 0.0, 0.0, 0.0],
+                              ego2global_translation=[0.0, 0.0, 0.0]))
+            gts = []
+            # GT dicts in submission conventions: decoded dims round-trip
+            # the scene's (w, l, h) verbatim through assign_targets/decode,
+            # and format_bbox writes size = box[[4, 3, 5]]; the ego pose is
+            # identity so global == ego and ego_translation == translation.
+            for box in np.asarray(b['gt_boxes_list'])[0]:
+                speed = float(np.hypot(box[7], box[8]))
+                gts.append(dict(
+                    translation=[float(box[0]), float(box[1]), float(box[2])],
+                    size=[float(box[4]), float(box[3]), float(box[5])],
+                    rotation=[float(np.cos(box[6] / 2)), 0.0, 0.0,
+                              float(np.sin(box[6] / 2))],
+                    velocity=[float(box[7]), float(box[8])],
+                    detection_name='car',
+                    attribute_name=('vehicle.moving' if speed > 0.2
+                                    else 'vehicle.parked'),
+                    num_pts=10,
+                    ego_translation=[float(box[0]), float(box[1]),
+                                     float(box[2])]))
+            gt_by_token[token] = gts
+        classes = [c for t in cfg.head.tasks for c in t]
+        ev = DetNuscEvaluator(class_names=classes,
+                              output_dir=tempfile.mkdtemp())
+        detail = ev.evaluate(results, metas, gt_boxes=gt_by_token)
+        pfx = 'img_bbox_NuScenes'
+        det_eval = dict(
+            car_ap={th: detail[f'{pfx}/car_AP_dist_{th}']
+                    for th in ('0.5', '1.0', '2.0', '4.0')},
+            car_trans_err=detail[f'{pfx}/car_trans_err'],
+            car_scale_err=detail[f'{pfx}/car_scale_err'],
+            car_orient_err=detail[f'{pfx}/car_orient_err'],
+            mAP=detail[f'{pfx}/mAP'], NDS=detail[f'{pfx}/NDS'],
+            n_pred_boxes=int(sum(len(r[0]) for r in results)),
+            n_gt_boxes=int(sum(len(v) for v in gt_by_token.values())))
+        print(f'overfit det eval: car AP {det_eval["car_ap"]}  '
+              f'ATE {det_eval["car_trans_err"]:.3f}  '
+              f'NDS {det_eval["NDS"]:.4f}')
+
     with open(args.out, 'w') as f:
         json.dump(dict(steps=args.steps, batches=args.batches,
-                       wall_s=round(dt, 1), summary=summary, history=hist),
+                       wall_s=round(dt, 1), summary=summary,
+                       det_eval=det_eval, history=hist),
                   f)
     print(f'wrote {args.out} ({args.steps} steps, {dt:.0f}s)')
 
