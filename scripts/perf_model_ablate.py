@@ -35,6 +35,9 @@ def timeit(fn, args_list, iters=6, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--variants', default='all')
+    ap.add_argument('--outputs', default='full', choices=['full', 'metrics'],
+                    help="'metrics' = the round-4 headline graph (all four "
+                         "task outputs, camera renders left to XLA DCE)")
     args = ap.parse_args()
     names = ['base_dense', 'base_compact', 'no_rays', 'no_lift', 'no_unet',
              'no_camfeats', 'no_queries', 'no_upsample', 'no_head',
@@ -79,8 +82,12 @@ def main():
                 fo, preds = model.apply(v, imgs, mats, points=pts,
                                         train=False, lidar_seg=lidar_seg)
                 outs = [fo['occ_logits'], fo['occ_density'],
-                        fo['depth_preds'], fo['bev_seg_logits_preds'],
+                        fo['bev_seg_logits_preds'],
                         fo['bev_feature']] + list(jax.tree.leaves(preds))
+                if args.outputs == 'full':
+                    outs.append(fo['depth_preds'])
+                else:
+                    outs += [fo['bev_height_preds'], fo['bev_rgb_preds']]
                 if fo['pts_logits'] is not None:
                     outs.append(fo['pts_logits'])
                 return sum(jnp.sum(x.astype(jnp.float32)) for x in outs)

@@ -106,3 +106,48 @@ def test_tcp_roundtrip(server):
         cl.close()
     finally:
         srv.shutdown()
+
+def test_outputs_selection_metrics_only(server):
+    """outputs='metrics' compiles a graph without the camera-render branch:
+    the response carries exactly the metric outputs (occ/pts/det), values
+    matching the full server's, and no render keys (whose compute XLA then
+    dead-code-eliminates — the perf claim is measured on-chip in
+    scripts/perf_r4_metrics_only.py; this pins the API semantics)."""
+    cfg = server.cfg
+    srv = InferenceServer(cfg, variables=server.variables, max_batch=1,
+                          outputs='metrics').warmup().start()
+    try:
+        s = _sample(cfg, 6)
+        want = server.infer(s)
+        got = srv.infer(s)
+        assert set(got) == {'occ_logits', 'occ_density', 'pts_logits', 'det'}
+        for k in ('occ_logits', 'occ_density', 'pts_logits'):
+            np.testing.assert_allclose(got[k], want[k], rtol=2e-4, atol=2e-4)
+        boxes, scores, labels = got['det']
+        assert boxes.shape[1] == 9 and np.isfinite(boxes).all()
+    finally:
+        srv.stop()
+
+
+def test_outputs_selection_validation():
+    cfg = tiny_config()
+    with pytest.raises(ValueError, match='unknown output groups'):
+        InferenceServer(cfg, outputs=('occ', 'nope'))
+
+
+def test_outputs_selection_render_groups(server):
+    """Explicit render groups expose the full render tensors (rgb/height)
+    that the historical default set argmaxes away; 'det' absent from outputs
+    disables decode."""
+    cfg = server.cfg
+    srv = InferenceServer(cfg, variables=server.variables, max_batch=1,
+                          outputs=('camera_renders', 'bev_renders')
+                          ).warmup().start()
+    try:
+        got = srv.infer(_sample(cfg, 7))
+        assert set(got) == {'depth_preds', 'seg_preds', 'rgb_preds',
+                            'bev_seg', 'bev_height', 'bev_rgb'}
+        assert np.isfinite(got['rgb_preds']).all()
+        assert got['bev_rgb'].shape[-1] == 3
+    finally:
+        srv.stop()

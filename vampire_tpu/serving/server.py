@@ -41,11 +41,23 @@ class InferenceServer:
       max_wait_ms: dispatcher linger: how long to wait for more requests
         before running a partial (padded) batch.
       with_det: also decode detection boxes (device decode; host NMS).
+      outputs: which output groups the compiled graph computes — any subset
+        of OUTPUT_GROUPS ('occ', 'lidarseg', 'det', 'camera_renders',
+        'bev_renders'), or the string 'metrics' = ('occ','lidarseg','det').
+        Because the graph is jitted, XLA dead-code-eliminates every branch
+        whose outputs are not requested — dropping 'camera_renders' removes
+        the per-camera ray gather + compositing + upsample, the single
+        largest line of the frame (~60 ms; the metrics consume only
+        occ/pts/det, reference base_exp.py:634-677). Default None keeps the
+        full historical output set.
     """
+
+    OUTPUT_GROUPS = ('occ', 'lidarseg', 'det', 'camera_renders',
+                     'bev_renders')
 
     def __init__(self, cfg, variables=None, dtype=None, max_batch: int = 1,
                  max_wait_ms: float = 5.0, with_det: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, outputs=None):
         import jax
         import jax.numpy as jnp
         from ..data.synthetic import synthetic_batch
@@ -58,6 +70,16 @@ class InferenceServer:
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        if outputs == 'metrics':
+            outputs = ('occ', 'lidarseg', 'det')
+        if outputs is not None:
+            outputs = tuple(outputs)
+            bad = set(outputs) - set(self.OUTPUT_GROUPS)
+            if bad:
+                raise ValueError(f'unknown output groups {sorted(bad)}; '
+                                 f'valid: {self.OUTPUT_GROUPS}')
+            with_det = 'det' in outputs
+        self.outputs = outputs
         self.with_det = with_det
         dtype = dtype or (jnp.bfloat16 if cfg.train.compute_dtype
                           == 'bfloat16' else jnp.float32)
@@ -77,15 +99,27 @@ class InferenceServer:
 
         head_cfg = cfg.head
 
+        groups = self.outputs
+
         def fwd(v, imgs, mats, points):
             fo, preds = self.model.apply(v, imgs, mats, points=points,
                                          train=False)
-            out = dict(occ_logits=fo['occ_logits'],
-                       occ_density=fo['occ_density'],
-                       pts_logits=fo['pts_logits'],
-                       depth_preds=fo['depth_preds'],
-                       seg_preds=jnp.argmax(fo['seg_logits_preds'], -1),
-                       bev_seg=jnp.argmax(fo['bev_seg_logits_preds'], -1))
+            out = {}
+            if groups is None or 'occ' in groups:
+                out['occ_logits'] = fo['occ_logits']
+                out['occ_density'] = fo['occ_density']
+            if groups is None or 'lidarseg' in groups:
+                out['pts_logits'] = fo['pts_logits']
+            if groups is None or 'camera_renders' in groups:
+                out['depth_preds'] = fo['depth_preds']
+                out['seg_preds'] = jnp.argmax(fo['seg_logits_preds'], -1)
+                if groups is not None:
+                    out['rgb_preds'] = fo['rgb_preds']
+            if groups is None or 'bev_renders' in groups:
+                out['bev_seg'] = jnp.argmax(fo['bev_seg_logits_preds'], -1)
+                if groups is not None:
+                    out['bev_height'] = fo['bev_height_preds']
+                    out['bev_rgb'] = fo['bev_rgb_preds']
             if self.with_det:
                 out['det'] = decode_preds(preds, head_cfg)
             return out
