@@ -16,5 +16,22 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', False)
 
+# Persistent XLA compilation cache (VERDICT r3 #10: keep the suite runnable).
+# The suite's cost is almost entirely XLA:CPU compiles of repeated graphs —
+# the CLI e2e's five cli.main() calls and the trainer's straight-vs-resume
+# pair recompile programs another test (or run) already compiled. The disk
+# cache dedupes identical programs within a run and across runs (warm rerun:
+# minutes, not ~50 min; e.g. test_overfit 195s -> 47s). Multi-device
+# executables do NOT reload safely on XLA:CPU — test_parallel opts out via
+# its module fixture (see the rationale there). Override the location with
+# VAMPIRE_TEST_CACHE; set it empty to disable (e.g. when timing cold
+# compiles).
+_cache = os.environ.get(
+    'VAMPIRE_TEST_CACHE',
+    os.path.join(os.path.dirname(__file__), '.xla_cache'))
+if _cache:
+    jax.config.update('jax_compilation_cache_dir', _cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 assert jax.devices()[0].platform == 'cpu', jax.devices()
 assert jax.device_count() == 8, jax.devices()

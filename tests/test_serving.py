@@ -58,11 +58,13 @@ def test_missing_input_key_raises(server):
     assert np.isfinite(out['occ_logits']).all()
 
 
-def test_stop_fails_queued_requests():
+def test_stop_fails_queued_requests(server):
     """stop() resolves still-queued futures with an error instead of leaving
-    infer() callers blocked forever."""
-    cfg = tiny_config()
-    srv = InferenceServer(cfg, max_batch=1, with_det=False)
+    infer() callers blocked forever. Reuses the module server's variables so
+    the constructor skips the (never exercised) model-init compile."""
+    cfg = server.cfg
+    srv = InferenceServer(cfg, variables=server.variables, max_batch=1,
+                          with_det=False)
     # never started: submissions sit in the queue
     fut = srv.submit({})
     srv.stop()
