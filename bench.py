@@ -19,10 +19,13 @@ included) is measured and reported alongside in the same run; serving exposes
 the same choice via InferenceServer(outputs=...), perf probe:
 scripts/perf_r4_metrics_only.py.
 
-vs_baseline denominator — derivation (the reference publishes NO throughput
-numbers anywhere, BASELINE.md; an A100 cannot be measured in this
-environment, so the denominator is an engineering estimate, bracketed from
-the reference's own shapes, SURVEY.md §3.1/§6):
+vs_baseline denominator — since round 5 the headline `vs_baseline` derives
+from the CALIBRATED A100 bracket (BASELINE.md "Denominator calibration"):
+geometric midpoint 36.2 fps of [20.3, 64.7]. The original round-1 derivation
+below produced the 5.0 fps figure now demoted to `vs_baseline_legacy`
+(the reference publishes NO throughput numbers anywhere, BASELINE.md; an
+A100 cannot be measured in this environment, so both denominators are
+engineering estimates — the bracket is the measured-anchor one):
 
   Compute floor (fp16 MACs x2, per frame):
     ResNet-50 @ 6x256x704: 3.86 GMAC @224^2 x (256*704)/(224*224)=3.59 x6
@@ -156,6 +159,64 @@ def main():
     fps = pipelined_fps(fwd)
     full_render_fps = pipelined_fps(make_fwd(with_camera_renders=True))
 
+    # ---- stage attribution (VERDICT r4 #2: per-round artifact) ----------
+    # Output-subset DCE attribution (methodology: scripts/perf_r4_attrib.py):
+    # jits returning different output subsets of the SAME forward let XLA
+    # dead-code-eliminate the rest, so subtractions yield stage costs. Each
+    # probe uses the same 2-deep pipelined timing as the headline.
+    def make_subset(keys, with_det=False):
+        @jax.jit
+        def f(v, imgs, mats, pts):
+            fo, preds = model.apply(v, imgs, mats, points=pts, train=False)
+            outs = [fo[k] for k in keys]
+            if with_det:
+                dec = decode_preds(preds, cfg.head)
+                outs += [(d['bboxes'], d['scores'], d['labels'], d['valid'])
+                         for d in dec]
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(outs))
+        return f
+
+    def make_encoder_probe():
+        B, N, H, W, _ = batch['imgs'].shape
+
+        @jax.jit
+        def f(v, imgs, mats, pts):
+            def run(mdl, x):
+                bk = mdl.backbone
+                feats = bk._get_cam_feats(x.reshape(B * N, H, W, 3), False)
+                depth = bk.mapping_along_depth(feats)
+                low = bk.channel_lower(feats)
+                return depth, low
+            outs = model.apply(v, batch['imgs'], method=run)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(outs))
+        return f
+
+    def timed_ms(f):
+        def g(v, imgs, m, p):
+            return f(v, imgs, m, p)
+        return 1000.0 / pipelined_fps(g)
+
+    stage_ms = {}
+    try:
+        t_enc = timed_ms(make_encoder_probe())
+        t_occd = timed_ms(make_subset(['occ_density']))
+        t_occ = timed_ms(make_subset(['occ_logits', 'occ_density']))
+        t_pts = timed_ms(make_subset(['pts_logits']))
+        t_det = timed_ms(make_subset([], with_det=True))
+        stage_ms = {
+            'encoder_fpn_depth_heads': round(t_enc, 1),
+            'lift_unet3d_density_occquery': round(t_occd - t_enc, 1),
+            'segconv_occ_softmax': round(t_occ - t_occd, 1),
+            'tables_point_query': round(t_pts - t_occ, 1),
+            'bevrender_dethead_decode': round(t_det - t_occ, 1),
+            'occ_density_graph': round(t_occd, 1),
+            'metrics_graph': round(1000.0 / fps, 1),
+        }
+    except Exception as e:  # never let attribution kill the headline
+        stage_ms = {'error': str(e)}
+
     # single-frame latency (synced per frame, includes the ~25ms axon-tunnel
     # fetch roundtrip): reported alongside so cross-round / cross-baseline
     # comparisons stay apples-to-apples with earlier min-latency figures
@@ -166,12 +227,24 @@ def main():
         lats.append(time.perf_counter() - t0)
     latency_ms = min(lats) * 1000.0
 
-    baseline_a100_fps = 5.0  # kept for BENCH_r01-r03 series comparability
+    # Denominator (VERDICT r4 #3): the headline ratio derives from the
+    # CALIBRATED A100 bracket [20.3, 64.7] fps (BASELINE.md "Denominator
+    # calibration", scripts/baseline_denominator.py — bottom-up from measured
+    # FLOPs/op-counts/dispatch overhead). vs_baseline uses the bracket's
+    # geometric midpoint (36.2 fps); vs_a100_bracket carries the honest
+    # range; the r1-r3 series' uncalibrated 5.0 denominator is demoted to
+    # vs_baseline_legacy for series comparability only.
+    bracket_lo, bracket_hi = 20.3, 64.7
+    a100_mid = (bracket_lo * bracket_hi) ** 0.5
     print(json.dumps({
         'metric': '6-cam 256x704 multi-task inference frames/sec/chip',
         'value': round(fps, 3),
         'unit': 'fps',
-        'vs_baseline': round(fps / baseline_a100_fps, 3),
+        'vs_baseline': round(fps / a100_mid, 3),
+        'vs_a100_bracket': [round(fps / bracket_hi, 3),
+                            round(fps / bracket_lo, 3)],
+        'vs_baseline_legacy': round(fps / 5.0, 3),
+        'a100_fps_bracket': [bracket_lo, bracket_hi],
         'methodology': '2-deep pipelined throughput over 10 frames '
                        '(device busy end-to-end; host fetch overlapped). '
                        'Graph returns all four task outputs (occ, lidarseg, '
@@ -179,15 +252,11 @@ def main():
                        '(training-supervision/vis-only outputs, no metric '
                        'reads them) are left to XLA dead-code elimination — '
                        'see full_render_fps for the r1-r3 graph with them '
-                       'included',
+                       'included. vs_baseline = fps / 36.2 (geometric mid '
+                       'of the calibrated A100 bracket).',
         'full_render_fps': round(full_render_fps, 3),
         'single_frame_latency_ms': round(latency_ms, 1),
-        # round-4 calibration (BASELINE.md "Denominator calibration",
-        # scripts/baseline_denominator.py): bottom-up A100 bracket from
-        # measured FLOPs/op-counts/dispatch overhead. The 5.0 denominator
-        # is likely favorable to this repo by ~2-6x; vs_baseline above is
-        # a series-consistent figure, not a calibrated multiplier.
-        'a100_fps_bracket': [20.3, 64.7],
+        'stage_ms': stage_ms,
     }))
 
 

@@ -51,7 +51,19 @@ def build_argparser() -> argparse.ArgumentParser:
                    help='torchvision resnet .pth grafted onto the image '
                         'backbone at init (the reference recipe, '
                         'base_exp.py:73)')
+    p.add_argument('--sweep-idxes', default=None,
+                   help='comma-separated temporal sweep-frame indexes into '
+                        'the infos\' cam_sweeps history (e.g. "0" or "0,2"); '
+                        'enables multi-sweep temporal fusion (the reference '
+                        'accepts --sweep_idxes but raises NotImplementedError '
+                        'in the forward, base_vampire2.py:690-693). Default: '
+                        'the experiment config\'s sweep_idxes')
     return p
+
+
+def _parse_sweep_idxes(s):
+    s = s.strip()
+    return tuple(int(t) for t in s.split(',') if t.strip()) if s else ()
 
 
 def main(argv=None):
@@ -86,7 +98,9 @@ def main(argv=None):
         num_devices=n_dev,
         use_ema=args.use_ema,
         pretrained_backbone=args.pretrained_backbone,
-        seed=args.seed))
+        seed=args.seed,
+        **({'sweep_idxes': _parse_sweep_idxes(args.sweep_idxes)}
+           if args.sweep_idxes is not None else {})))
 
     mesh = None
     if args.num_devices:
