@@ -253,9 +253,19 @@ def _project_np(pts: np.ndarray, s2e: np.ndarray, intr: np.ndarray,
 
 def consistent_batch(cfg: VampireConfig, batch_size: int = 1,
                      n_points: Optional[int] = None, n_boxes: int = 8,
-                     seed: int = 0, mode: str = 'train'
-                     ) -> Dict[str, np.ndarray]:
-    """synthetic_batch drop-in with every label derived from one scene."""
+                     seed: int = 0, mode: str = 'train',
+                     sweep_offsets: tuple = ()) -> Dict[str, np.ndarray]:
+    """synthetic_batch drop-in with every label derived from one scene.
+
+    sweep_offsets: per-sweep ego displacements in meters BEHIND the key ego
+    (the vehicle drove forward between sweep and key). Non-empty emits the
+    loader's multi-frame layout — imgs (B, F, N, H, W, 3) with frame 0 = key,
+    sensor2ego composed into the KEY ego frame (sweepsensor2keyego,
+    data/nuscenes.py:297) — with sweep images rendered from the displaced
+    rig, and (train mode) per-sweep-frame depth/seg maps projected from the
+    same lidar subset, mirroring nusc_det_seg_dataset.py:661-669. All other
+    labels are key-frame, as in the real pipeline.
+    """
     from .transforms import make_bev_seg_map
     from ..core.geometry import make_occ_coords
 
@@ -269,9 +279,11 @@ def consistent_batch(cfg: VampireConfig, batch_size: int = 1,
     _, Yd, Xd = bc.grid_zyx('det')
 
     batch = dict(camera_rig(batch_size, N, bc.final_dim, seed=seed))
-    imgs = np.zeros((batch_size, N, fH, fW, 3), np.float32)
-    depth_lab = np.zeros((batch_size, N, fH, fW), np.float32)
-    seg_lab = np.zeros((batch_size, N, fH, fW), np.int32)
+    offsets = (0.0,) + tuple(sweep_offsets)
+    F = len(offsets)
+    imgs = np.zeros((batch_size, F, N, fH, fW, 3), np.float32)
+    depth_lab = np.zeros((batch_size, F, N, fH, fW), np.float32)
+    seg_lab = np.zeros((batch_size, F, N, fH, fW), np.int32)
     all_pts, all_lab, all_valid = [], [], []
     gt_boxes, gt_labels = [], []
     occ_sems, bev_segs, bev_hts, bev_masks = [], [], [], []
@@ -318,47 +330,54 @@ def consistent_batch(cfg: VampireConfig, batch_size: int = 1,
         all_lab.append(lab)
         all_valid.append(pv)
 
-        # per-camera render: z-buffer the dense set; lidar subset -> labels
-        for n in range(N):
-            s2e = batch['sensor2ego'][b, n]
-            intr = batch['intrin'][b, n]
-            ida = batch['ida'][b, n]
-            u, v, z = _project_np(dense, s2e, intr, ida)
-            ok = (z > 0.5) & (u >= 0) & (u < fW - 0.5) & (v >= 0) \
-                & (v < fH - 0.5)
-            ui = np.round(u[ok]).astype(np.int64)
-            vi = np.round(v[ok]).astype(np.int64)
-            flat = vi * fW + ui
-            zbuf = np.full(fH * fW, np.inf, np.float32)
-            np.minimum.at(zbuf, flat, z[ok].astype(np.float32))
-            win = z[ok].astype(np.float32) <= zbuf[flat] + 1e-4
-            cls_img = np.zeros(fH * fW, np.int32)
-            cls_img[flat[win]] = dense_cls[ok][win]
-            dep_img = np.zeros(fH * fW, np.float32)
-            dep_img[flat[win]] = z[ok][win].astype(np.float32)
-            cls_map = cls_img.reshape(fH, fW)
-            dep_map = dep_img.reshape(fH, fW)
-            rgb = np.empty((fH, fW, 3), np.float32)
-            for cid, col in _COLORS.items():
-                rgb[cls_map == cid] = col
-            # depth shading so images carry a geometry cue
-            shade = np.where(dep_map > 0, 1.0 / (1.0 + 0.015 * dep_map), 1.0)
-            rgb *= shade[..., None]
-            imgs[b, n] = (rgb - _IMG_MEAN_01) / _IMG_STD_01
+        # per-frame, per-camera render: z-buffer the dense set; lidar subset
+        # -> labels. Sweep frame f's rig sits offsets[f] m behind the key ego
+        # (sweepsensor2keyego = trans(-d) @ s2e, data/nuscenes.py:297)
+        for f, off in enumerate(offsets):
+            Tf = np.eye(4, dtype=np.float32)
+            Tf[0, 3] = -off
+            for n in range(N):
+                s2e = (Tf @ batch['sensor2ego'][b, n]).astype(np.float32)
+                intr = batch['intrin'][b, n]
+                ida = batch['ida'][b, n]
+                u, v, z = _project_np(dense, s2e, intr, ida)
+                ok = (z > 0.5) & (u >= 0) & (u < fW - 0.5) & (v >= 0) \
+                    & (v < fH - 0.5)
+                ui = np.round(u[ok]).astype(np.int64)
+                vi = np.round(v[ok]).astype(np.int64)
+                flat = vi * fW + ui
+                zbuf = np.full(fH * fW, np.inf, np.float32)
+                np.minimum.at(zbuf, flat, z[ok].astype(np.float32))
+                win = z[ok].astype(np.float32) <= zbuf[flat] + 1e-4
+                cls_img = np.zeros(fH * fW, np.int32)
+                cls_img[flat[win]] = dense_cls[ok][win]
+                dep_img = np.zeros(fH * fW, np.float32)
+                dep_img[flat[win]] = z[ok][win].astype(np.float32)
+                cls_map = cls_img.reshape(fH, fW)
+                dep_map = dep_img.reshape(fH, fW)
+                rgb = np.empty((fH, fW, 3), np.float32)
+                for cid, col in _COLORS.items():
+                    rgb[cls_map == cid] = col
+                # depth shading so images carry a geometry cue
+                shade = np.where(dep_map > 0,
+                                 1.0 / (1.0 + 0.015 * dep_map), 1.0)
+                rgb *= shade[..., None]
+                imgs[b, f, n] = (rgb - _IMG_MEAN_01) / _IMG_STD_01
 
-            # sparse depth/seg supervision from the lidar subset only
-            u2, v2, z2 = _project_np(pts[pv], s2e, intr, ida)
-            ok2 = (z2 > bc.d_bound[0]) & (z2 < bc.d_bound[1]) & (u2 >= 0) \
-                & (u2 < fW - 0.5) & (v2 >= 0) & (v2 < fH - 0.5)
-            ui2 = np.round(u2[ok2]).astype(np.int64)
-            vi2 = np.round(v2[ok2]).astype(np.int64)
-            f2 = vi2 * fW + ui2
-            # nearest point wins (depth_transform's -depth sort semantics)
-            order = np.argsort(-z2[ok2])
-            dl = depth_lab[b, n].reshape(-1)
-            sl = seg_lab[b, n].reshape(-1)
-            dl[f2[order]] = z2[ok2][order].astype(np.float32)
-            sl[f2[order]] = lab[pv][ok2][order]
+                # sparse depth/seg supervision from the lidar subset only
+                # (built per frame, mirroring nusc_det_seg_dataset.py:661-669)
+                u2, v2, z2 = _project_np(pts[pv], s2e, intr, ida)
+                ok2 = (z2 > bc.d_bound[0]) & (z2 < bc.d_bound[1]) & (u2 >= 0) \
+                    & (u2 < fW - 0.5) & (v2 >= 0) & (v2 < fH - 0.5)
+                ui2 = np.round(u2[ok2]).astype(np.int64)
+                vi2 = np.round(v2[ok2]).astype(np.int64)
+                f2 = vi2 * fW + ui2
+                # nearest point wins (depth_transform's -depth sort semantics)
+                order = np.argsort(-z2[ok2])
+                dl = depth_lab[b, f, n].reshape(-1)
+                sl = seg_lab[b, f, n].reshape(-1)
+                dl[f2[order]] = z2[ok2][order].astype(np.float32)
+                sl[f2[order]] = lab[pv][ok2][order]
 
         # BEV raster through the real path
         seg, height, mask = make_bev_seg_map(
@@ -382,9 +401,24 @@ def consistent_batch(cfg: VampireConfig, batch_size: int = 1,
         gt_boxes.append(boxes)
         gt_labels.append(np.zeros(n_boxes, np.int64))     # task-0 'car'
 
-    batch['imgs'] = imgs
-    batch['depth_labels'] = depth_lab
-    batch['seg_labels'] = seg_lab
+    if sweep_offsets:
+        # loader multi-frame layout: imgs (B, F, N, ...), per-frame mats
+        batch['imgs'] = imgs
+        batch['depth_labels'] = depth_lab
+        batch['seg_labels'] = seg_lab
+        frame_mats = []
+        for off in offsets:
+            Tf = np.eye(4, dtype=np.float32)
+            Tf[0, 3] = -off
+            frame_mats.append(np.einsum('ij,bnjk->bnik', Tf,
+                                        batch['sensor2ego']))
+        batch['sensor2ego'] = np.stack(frame_mats, axis=1).astype(np.float32)
+        batch['intrin'] = np.repeat(batch['intrin'][:, None], F, axis=1)
+        batch['ida'] = np.repeat(batch['ida'][:, None], F, axis=1)
+    else:
+        batch['imgs'] = imgs[:, 0]
+        batch['depth_labels'] = depth_lab[:, 0]
+        batch['seg_labels'] = seg_lab[:, 0]
     batch['points'] = np.stack(all_pts)
     batch['point_labels'] = np.stack(all_lab)
     batch['point_valid'] = np.stack(all_valid)
@@ -397,12 +431,17 @@ def consistent_batch(cfg: VampireConfig, batch_size: int = 1,
     # camera-visible mask: voxel center projects into SOME camera frustum.
     # This must not be all-True, or the invisible occ density term would be
     # vacuously zero (masked mean over an empty set) and untestable.
+    # key-frame mats regardless of the multi-frame layout above
+    key_s2e = (batch['sensor2ego'][:, 0] if sweep_offsets
+               else batch['sensor2ego'])
+    key_intr = batch['intrin'][:, 0] if sweep_offsets else batch['intrin']
+    key_ida = batch['ida'][:, 0] if sweep_offsets else batch['ida']
     masks = []
     for b in range(batch_size):
         vis = np.zeros(len(occ_flat), bool)
         for n in range(N):
-            u, v, z = _project_np(occ_flat, batch['sensor2ego'][b, n],
-                                  batch['intrin'][b, n], batch['ida'][b, n])
+            u, v, z = _project_np(occ_flat, key_s2e[b, n],
+                                  key_intr[b, n], key_ida[b, n])
             # horizontal-FOV membership only: Occ3D's real mask is
             # ray-cast, not projective, so any nontrivial mask works for
             # learnability; the vertical gate is dropped because the tiny
