@@ -108,7 +108,11 @@ def main():
     def make_fwd(with_camera_renders):
         @jax.jit
         def fwd(v, imgs, mats, pts):
-            fo, preds = model.apply(v, imgs, mats, points=pts, train=False)
+            # the explicit camera_renders flag additionally skips the
+            # corner-table build that the point query would otherwise keep
+            # alive through DCE (field.py _query_points direct-sampler path)
+            fo, preds = model.apply(v, imgs, mats, points=pts, train=False,
+                                    camera_renders=with_camera_renders)
             dec = decode_preds(preds, cfg.head)
             outs = (fo['occ_logits'], fo['occ_density'], fo['pts_logits'],
                     fo['bev_seg_logits_preds'], fo['bev_height_preds'],
@@ -167,7 +171,8 @@ def main():
     def make_subset(keys, with_det=False):
         @jax.jit
         def f(v, imgs, mats, pts):
-            fo, preds = model.apply(v, imgs, mats, points=pts, train=False)
+            fo, preds = model.apply(v, imgs, mats, points=pts, train=False,
+                                    camera_renders=False)
             outs = [fo[k] for k in keys]
             if with_det:
                 dec = decode_preds(preds, cfg.head)

@@ -70,6 +70,11 @@ def main():
         path = os.path.join(args.jobs, name)
         out_path = path[:-3] + '.out'
         print(f'[runner] running {name}', flush=True)
+        # pick up source edits between jobs: drop cached package modules
+        # (jax and its compiled caches stay warm; vampire_tpu re-imports in
+        # ~1s). Keeps the long-lived device grant while allowing iteration.
+        for mod in [m for m in sys.modules if m.startswith('vampire_tpu')]:
+            del sys.modules[mod]
         src = open(path).read()
         t0 = time.time()
         ok = True

@@ -184,3 +184,32 @@ def test_coverage_diagnostics_sown(setup):
     np.testing.assert_allclose(np.asarray(fo2['depth_preds']),
                                np.asarray(fo['depth_preds']),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_camera_renders_off_parity(setup):
+    """camera_renders=False (the metrics-graph fast path, round 5: skips the
+    corner-table build and the camera ray branch) must reproduce the full
+    graph's metric-feeding outputs: occ/bev/det exactly (same ops), point
+    queries to bf16-input tolerance (direct 8-take sampler vs the shared
+    corner-table gather — same math, different reduction order)."""
+    cfg, model, batch, mats, variables, fwd, fo, preds = setup
+    fo2, preds2 = jax.jit(functools.partial(
+        model.apply, train=False, camera_renders=False))(
+            variables, batch['imgs'], mats, points=batch['points'])
+    assert fo2['rgb_preds'] is None
+    assert fo2['seg_logits_preds'] is None
+    assert fo2['depth_preds'] is None
+    for k in ('occ_logits', 'occ_density', 'bev_seg_logits_preds',
+              'bev_height_preds', 'bev_rgb_preds', 'bev_feature'):
+        np.testing.assert_allclose(np.asarray(fo[k]), np.asarray(fo2[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(fo['pts_logits']),
+                               np.asarray(fo2['pts_logits']),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fo['pts_sdf']),
+                               np.asarray(fo2['pts_sdf']),
+                               rtol=2e-2, atol=2e-2)
+    for p1, p2 in zip(preds, preds2):
+        for k in p1:
+            np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                       rtol=1e-6, atol=1e-6)

@@ -49,6 +49,38 @@ def _conv3d(features, name, use_bias=True, dtype=jnp.float32,
                    kernel_init=kaiming_out, bias_init=bias_init, name=name)
 
 
+class Conv3dZ(nn.Module):
+    """3x3x3 conv on (B, Z, Y, X, C), computed as a banded z-channels 2D
+    conv (the Unet3D trick, unet3d._banded_kernel): NDHWC conv3d with
+    C<=22 uses ~1/6 of the MXU lanes and measured ~3 ms per head conv at
+    flagship shapes; the (3, 3, Z*Cin, Z*Cout) banded form runs the same
+    math at full lane occupancy (~6x faster, attrib_r5). Param names and
+    shapes ('kernel' (3,3,3,Cin,Cout), 'bias' (Cout,)) match nn.Conv —
+    a checkpoint-compatible drop-in for _conv3d."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        from .unet3d import _banded_kernel
+        B, Z, Y, X, C = x.shape
+        k = self.param('kernel', kaiming_out, (3, 3, 3, C, self.features),
+                       jnp.float32)
+        kb = _banded_kernel(k, Z, Z, 1)
+        xz = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Y, X, Z * C)
+        y = jax.lax.conv_general_dilated(
+            xz.astype(self.dtype), kb.astype(self.dtype), (1, 1),
+            [(1, 1)] * 2, dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            b = self.param('bias', self.bias_init, (self.features,),
+                           jnp.float32)
+            y = y + jnp.tile(b, Z).astype(self.dtype)
+        y = y.reshape(B, Y, X, Z, self.features)
+        return jnp.transpose(y, (0, 3, 1, 2, 4))
+
+
 class FieldBackbone(nn.Module):
     """Camera images -> ego 3D feature field -> task outputs.
 
@@ -133,15 +165,19 @@ class FieldBackbone(nn.Module):
         else:
             self.base_conv = ConvSoftplus3D(c.mid_channels, dtype=self.dtype,
                                             name='base_conv')
-        # density bias init: sdf_bias - 10 (base_vampire2.py:235-241)
-        self.density_conv = _conv3d(
-            1, 'density_conv', dtype=self.dtype,
-            bias_init=nn.initializers.constant(c.sdf_bias - 10.0))
-        self.seg_conv = _conv3d(c.num_classes, 'seg_conv', dtype=self.dtype)
-        self.rgb_conv = _conv3d(3, 'rgb_conv', dtype=self.dtype)
+        # density bias init: sdf_bias - 10 (base_vampire2.py:235-241).
+        # Conv3dZ = banded z-channels execution of the same conv (same
+        # params; ~6x faster than NDHWC conv3d at these narrow channels)
+        self.density_conv = Conv3dZ(
+            1, dtype=self.dtype,
+            bias_init=nn.initializers.constant(c.sdf_bias - 10.0),
+            name='density_conv')
+        self.seg_conv = Conv3dZ(c.num_classes, dtype=self.dtype,
+                                name='seg_conv')
+        self.rgb_conv = Conv3dZ(3, dtype=self.dtype, name='rgb_conv')
         if c.variant == 'bilinear':
-            self.feature_conv = _conv3d(c.mid_channels, 'feature_conv',
-                                        dtype=self.dtype)
+            self.feature_conv = Conv3dZ(c.mid_channels, dtype=self.dtype,
+                                        name='feature_conv')
         # learnable Laplace beta (render_utils.py:5-7)
         self.density_beta = self.param('density_beta',
                                        nn.initializers.constant(0.1), ())
@@ -289,6 +325,14 @@ class FieldBackbone(nn.Module):
         self.sow('diagnostics', 'lift_dropped_blocks',
                  jnp.sum(nonzero - sel_nonzero))
 
+        # Per-camera loop, accumulating into one (B, G, Q, C) pair. A fused
+        # all-cameras variant (one gather over stacked camera-offset tables +
+        # one merged [numer|denom] scatter, sampling.
+        # sample_outer_product_fused_multi) measured SLOWER in-model on the
+        # real chip: occ_density block 58.6 -> 82.6 ms/frame — the big
+        # single gather/scatter draws the same bad layout/fusion choices XLA
+        # gives the standalone lift (ROUND5.md; jobs 30/31/40), while the
+        # loop lets each camera's table build fuse into its own gather.
         def lift_one(n, acc):
             numer, denom = acc
             _, ids = jax.lax.top_k(counts[:, n], topk)           # (B, K)
@@ -327,9 +371,13 @@ class FieldBackbone(nn.Module):
     def _query_points(self, fused_vol, tables, points):
         """Padded point queries (base_vampire2.py:576-596).
 
-        points: (B, P, 3) ego xyz (padded). Samples the shared fused-field
-        corner table (channels [sdf | seg | rgb]) — the per-site table build
-        used to cost ~90ms/frame, far more than this 36k-row gather.
+        points: (B, P, 3) ego xyz (padded). With `tables` present (a
+        camera-render graph is alive and already paid for the corner-block
+        table), samples the shared fused-field table in one row-gather per
+        query. Without tables (metrics-only graphs, `camera_renders=False`),
+        uses the direct 8-take sampler on the fused volume — building the
+        ~0.5 GB corner table to serve 36k queries costs ~11 ms/frame
+        (attrib_r5), vs ~3 ms for 8 narrow takes.
         Returns (pts_logits (B,P,K), pts_sdf (B,P)).
         """
         c = self.cfg
@@ -339,10 +387,15 @@ class FieldBackbone(nn.Module):
         # one take for logits (border) and sdf: for in-range points border ==
         # zeros sampling exactly, and the sdf is masked to 0 out of range just
         # like the reference (base_vampire2.py:594-595)
-        samp = S.batched_grid_sample_3d_fused(fused_vol, norm,
-                                              align_corners=True,
-                                              padding_mode='border',
-                                              tables=tables)
+        if tables is not None:
+            samp = S.batched_grid_sample_3d_fused(fused_vol, norm,
+                                                  align_corners=True,
+                                                  padding_mode='border',
+                                                  tables=tables)
+        else:
+            samp = S.batched_grid_sample_3d(
+                fused_vol.astype(self.sample_dtype), norm,
+                align_corners=True, padding_mode='border')
         pts_logits = samp[..., 1:K + 1]
         pts_sdf = samp[..., 0] * G.inrange_mask(norm).astype(jnp.float32)
         return pts_logits, pts_sdf
@@ -378,6 +431,25 @@ class FieldBackbone(nn.Module):
                                                align_corners=True,
                                                padding_mode='zeros')[..., 0]
         return occ_logits, jnp.tanh(occ_density)
+
+    def _render_bev(self, fused, base_vol):
+        """BEV rendering branch over the (always static) det grid
+        (base_vampire2.py:391-467 BEV half): separable interpolation
+        matmuls, z flipped (sky -> ground)."""
+        c = self.cfg
+        K = c.num_classes
+        fused_bev = jnp.concatenate([fused, base_vol], axis=-1)
+        vox = S.apply_sample_matrices(fused_bev, self._det_mats, (1, 2, 3))
+        vox = jnp.flip(vox, axis=1)
+        bev_density = self._density(vox[..., 0])
+        bev_seg_l = vox[..., 1:K + 1]
+        bev_rgb_v = vox[..., K + 1:K + 4]
+        vox_out = vox[..., K + 4:]
+        if c.cat_seg:
+            vox_out = jnp.concatenate([vox_out, bev_seg_l], axis=-1)
+        bev_rgb, bev_seg, bev_height = R.render_bev_columns(
+            bev_density, bev_seg_l, bev_rgb_v, self.bev_mids, c.z_bound_det[2])
+        return bev_rgb, bev_seg, bev_height, bev_density, vox_out
 
     def _render(self, geom_xyz, fused, tables, base_vol, train=False):
         """Both rendering branches (base_vampire2.py:391-467).
@@ -456,27 +528,24 @@ class FieldBackbone(nn.Module):
         seg_p = seg_p.reshape(B, N, fh, fw, K)
         depth_p = depth_p.reshape(B, N, fh, fw)
 
-        # BEV branch over the (always static) det grid, z flipped
-        # (sky -> ground); separable interpolation matmuls replace the gather
-        fused_bev = jnp.concatenate([fused, base_vol], axis=-1)
-        vox = S.apply_sample_matrices(fused_bev, self._det_mats, (1, 2, 3))
-        vox = jnp.flip(vox, axis=1)
-        bev_density = self._density(vox[..., 0])
-        bev_seg_l = vox[..., 1:K + 1]
-        bev_rgb_v = vox[..., K + 1:K + 4]
-        vox_out = vox[..., K + 4:]
-        if c.cat_seg:
-            vox_out = jnp.concatenate([vox_out, bev_seg_l], axis=-1)
-        bev_rgb, bev_seg, bev_height = R.render_bev_columns(
-            bev_density, bev_seg_l, bev_rgb_v, self.bev_mids, c.z_bound_det[2])
+        (bev_rgb, bev_seg, bev_height, bev_density,
+         vox_out) = self._render_bev(fused, base_vol)
         return (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height,
                 bev_density, vox_out)
 
     # ------------------------------------------------------------------
     def __call__(self, imgs: jnp.ndarray, mats: Dict[str, jnp.ndarray],
                  points: Optional[jnp.ndarray] = None,
-                 train: bool = False) -> Dict[str, jnp.ndarray]:
+                 train: bool = False,
+                 camera_renders: bool = True) -> Dict[str, jnp.ndarray]:
         """Forward for the key frame (+ optional temporal sweep frames).
+
+        camera_renders=False (inference-only graphs whose consumers read no
+        per-camera rgb/seg/depth render — the three nuScenes metrics don't)
+        skips the camera ray branch AND the shared corner-block table build
+        it needs (~0.5 GB, ~11 ms/frame); point queries fall back to the
+        direct 8-take sampler. The returned dict then carries None for
+        rgb/seg/depth_preds. Training requires the renders (loss terms).
 
         Args:
           imgs: (B, N, H, W, 3) normalized key-frame images, or
@@ -551,17 +620,21 @@ class FieldBackbone(nn.Module):
         # tiles (exact — the pad is sliced off after the weighted sum;
         # configs.py table_pad_channels).
         fused = jnp.concatenate([sdf_vol, seg_vol, rgb_vol], axis=-1)
-        fused_t = fused.astype(self.sample_dtype)
-        cp = c.table_pad_channels
-        if cp:
-            if cp < fused_t.shape[-1]:
-                raise ValueError(
-                    f'table_pad_channels={cp} < fused channel count '
-                    f'{fused_t.shape[-1]} (must be >= 1+num_classes+3)')
-            if cp > fused_t.shape[-1]:
-                fused_t = jnp.pad(
-                    fused_t, ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
-        tables = jax.vmap(S.build_neighborhood_table)(fused_t)
+        if camera_renders:
+            fused_t = fused.astype(self.sample_dtype)
+            cp = c.table_pad_channels
+            if cp:
+                if cp < fused_t.shape[-1]:
+                    raise ValueError(
+                        f'table_pad_channels={cp} < fused channel count '
+                        f'{fused_t.shape[-1]} (must be >= 1+num_classes+3)')
+                if cp > fused_t.shape[-1]:
+                    fused_t = jnp.pad(
+                        fused_t,
+                        ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
+            tables = jax.vmap(S.build_neighborhood_table)(fused_t)
+        else:
+            tables = None
 
         pts_logits = pts_sdf = None
         if points is not None:
@@ -570,21 +643,26 @@ class FieldBackbone(nn.Module):
         occ_logits, occ_density = self._query_occ(seg_vol, sdf_vol,
                                                   mats.get('bda'))
 
-        geom_xyz = G.get_geometry(self.frustum, key_mats['sensor2ego'],
-                                  key_mats['intrin'], key_mats['ida'],
-                                  key_mats.get('bda'))
-        (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height, bev_density,
-         vox_out) = self._render(geom_xyz, fused, tables, base_f32,
-                                 train=train)
+        if camera_renders:
+            geom_xyz = G.get_geometry(self.frustum, key_mats['sensor2ego'],
+                                      key_mats['intrin'], key_mats['ida'],
+                                      key_mats.get('bda'))
+            (rgb_p, seg_p, depth_p, bev_rgb, bev_seg, bev_height,
+             bev_density, vox_out) = self._render(geom_xyz, fused, tables,
+                                                  base_f32, train=train)
 
-        # x4 upsample of the camera renders (base_vampire2.py:616-626)
-        up = c.upsample_factor
-        fH, fW = c.feat_hw
-        def up4(x):
-            return S.resize_linear(x, (fH * up, fW * up), (2, 3))
-        rgb_p = up4(rgb_p)
-        seg_p = up4(seg_p)
-        depth_p = up4(depth_p[..., None])[..., 0]
+            # x4 upsample of the camera renders (base_vampire2.py:616-626)
+            up = c.upsample_factor
+            fH, fW = c.feat_hw
+            def up4(x):
+                return S.resize_linear(x, (fH * up, fW * up), (2, 3))
+            rgb_p = up4(rgb_p)
+            seg_p = up4(seg_p)
+            depth_p = up4(depth_p[..., None])[..., 0]
+        else:
+            rgb_p = seg_p = depth_p = None
+            (bev_rgb, bev_seg, bev_height, bev_density,
+             vox_out) = self._render_bev(fused, base_f32)
 
         # BEV feature for the det head (base_vampire2.py:627-632)
         gate = jnp.tanh(bev_density) if c.density_mode == 'sdf' else bev_density

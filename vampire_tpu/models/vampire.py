@@ -41,14 +41,18 @@ class Vampire(nn.Module):
 
     def __call__(self, imgs: jnp.ndarray, mats: Dict[str, jnp.ndarray],
                  points: Optional[jnp.ndarray] = None,
-                 train: bool = False, lidar_seg: bool = False):
+                 train: bool = False, lidar_seg: bool = False,
+                 camera_renders: bool = True):
         """Args follow FieldBackbone.__call__; `lidar_seg=True` at eval time
         skips the det head and returns only the segmentation outputs
-        (vampire2.py:58-59).
+        (vampire2.py:58-59). `camera_renders=False` (inference graphs whose
+        consumers read no per-camera render) skips the camera ray branch and
+        the corner-table build it needs — see FieldBackbone.__call__.
 
         Returns (field_outputs dict, det_preds list-of-dicts or None).
         """
-        fo = self.backbone(imgs, mats, points=points, train=train)
+        fo = self.backbone(imgs, mats, points=points, train=train,
+                           camera_renders=camera_renders)
         if lidar_seg and not train:
             return fo, None
         preds = self.head(fo['bev_feature'], train)

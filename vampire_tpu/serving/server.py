@@ -101,9 +101,12 @@ class InferenceServer:
 
         groups = self.outputs
 
+        need_renders = groups is None or 'camera_renders' in groups
+
         def fwd(v, imgs, mats, points):
             fo, preds = self.model.apply(v, imgs, mats, points=points,
-                                         train=False)
+                                         train=False,
+                                         camera_renders=need_renders)
             out = {}
             if groups is None or 'occ' in groups:
                 out['occ_logits'] = fo['occ_logits']

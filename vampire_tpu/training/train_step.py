@@ -97,7 +97,8 @@ def build_eval_step(model: Vampire, cfg: VampireConfig, lidar_seg: bool = True):
         mats = split_mats(batch)
         fo, preds = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['imgs'],
-            mats, points=batch['points'], train=False, lidar_seg=lidar_seg)
+            mats, points=batch['points'], train=False, lidar_seg=lidar_seg,
+            camera_renders=False)
         out = dict(pts_logits=fo['pts_logits'], occ_logits=fo['occ_logits'],
                    occ_density=fo['occ_density'])
         if not lidar_seg:
@@ -119,7 +120,8 @@ def build_metric_eval_step(model: Vampire, cfg: VampireConfig):
         mats = split_mats(batch)
         fo, _ = model.apply(
             {'params': params, 'batch_stats': batch_stats}, batch['imgs'],
-            mats, points=batch['points'], train=False, lidar_seg=True)
+            mats, points=batch['points'], train=False, lidar_seg=True,
+            camera_renders=False)
         seg_pred = jnp.argmax(fo['pts_logits'][..., 1:-1], axis=-1) + 1
         valid = batch['point_valid'] & (batch['point_labels'] != 0)
         # drop_last=False pads the final batch; mask the padded rows out of

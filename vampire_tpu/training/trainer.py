@@ -395,7 +395,8 @@ class Trainer:
             mats = split_mats(batch)
             _, preds = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
-                batch['imgs'], mats, points=batch['points'], train=False)
+                batch['imgs'], mats, points=batch['points'], train=False,
+                camera_renders=False)
             from ..models.centerpoint_head import decode_preds
             return dict(det=decode_preds(preds, cfg.head))
         if not hasattr(self, '_det_step'):
@@ -510,7 +511,8 @@ class Trainer:
             mats = split_mats(batch)
             fo, preds = model.apply(
                 {'params': params, 'batch_stats': batch_stats},
-                batch['imgs'], mats, points=batch['points'], train=False)
+                batch['imgs'], mats, points=batch['points'], train=False,
+                camera_renders=False)
             from ..models.centerpoint_head import decode_preds
             return dict(det=decode_preds(preds, cfg.head),
                         pts_logits=fo['pts_logits'])
