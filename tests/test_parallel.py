@@ -38,8 +38,12 @@ def test_mesh_construction():
 
 @pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
+    # force_subprocess: the wiring dryrun compiles at
+    # --xla_backend_optimization_level=0 in its bootstrap subprocess (2.2x
+    # faster cold on the 1-core host, VERDICT r4 #8); in-process it would
+    # inherit this suite's fully-optimizing backend instead.
     import __graft_entry__
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(8, force_subprocess=True)
 
 
 @pytest.mark.slow

@@ -201,6 +201,24 @@ def test_sample_outer_product_fused_matches():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_sample_outer_product_pixtab_matches():
+    """Pixel-keyed lift table sampler == reference outer-product sampler
+    (round-5 VMEM-table path, field.py lift_sampler='pixtab')."""
+    rng = np.random.RandomState(21)
+    D, H, W, C = 7, 8, 10, 4
+    depth = rng.rand(D, H, W).astype(np.float32)
+    feat = rng.randn(H, W, C).astype(np.float32)
+    coords = _rand_coords(777, seed=22)
+    want = np.asarray(S.sample_outer_product(jnp.asarray(depth),
+                                             jnp.asarray(feat),
+                                             jnp.asarray(coords), False))
+    got = np.asarray(S.sample_outer_product_pixtab(jnp.asarray(depth),
+                                                   jnp.asarray(feat),
+                                                   jnp.asarray(coords), False,
+                                                   chunk=128))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_sorted_segment_rows_matches_scatter_add():
     """sorted_segment_rows (scatter-free transpose-of-gather) == scatter-add,
     including rows with no queries, duplicate-heavy rows, and the chunked

@@ -101,6 +101,22 @@ class BackboneConfig:
     # gather over the full grid).
     lift_block: int = 8
     lift_block_topk: int = 288
+    # Lift gather table keying (round 5, ROUND5.md §6):
+    #   'fused'  — (d0,y0,x0)-keyed corner table, 1M rows/144 MB (HBM).
+    #   'pixtab' — (y0,x0)-keyed pixel table, 11.5k rows/9.4 MB (VMEM-
+    #              sized), z interpolation as a post-gather one-hot
+    #              contraction over each pixel's depth profile.
+    #   'auto'   — fused for eval-mode forwards, pixtab for train-mode.
+    # Chip-measured at flagship shapes (after the round-5 unbatching +
+    # block-major-geometry fixes): occ_density block TIES (43.3 vs
+    # 43.4 ms), metrics graph slightly favors fused (54.8 vs 57.3 ms),
+    # train step ties (520.8 vs 522.9 ms/step). Default 'fused' keeps one
+    # production path; 'pixtab' trades nothing measurable in training and
+    # saves 135 MB of per-camera table HBM — prefer it for batch>1 or
+    # memory-tight serving. Both are the same math: pixtab is bit-exact vs
+    # the fp32 reference sampler on bf16 inputs; fused differs by ~1e-8
+    # (reassociation).
+    lift_sampler: str = 'fused'
     # Lane-aligned fused-field table rows: pad the fused channels with zeros
     # so table rows are whole 128-lane tiles (e.g. 32 -> 8*32 = 256 ch =
     # 512 B rows vs the natural C = 1+K+3 = 22 -> 352 B = 2.75 tiles).

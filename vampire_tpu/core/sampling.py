@@ -55,6 +55,22 @@ def _prep_axis(coord, size, align_corners, border):
     return (i0c, i1c), (1.0 - w1, w1), (inb0, inb1)
 
 
+
+def map_unbatched(fn, *args):
+    """Apply fn per leading-axis element via a static python unroll.
+
+    jax.vmap rewrites jnp.take into a BATCHED gather, which forfeits XLA's
+    fast row-gather path on TPU: a VMEM-resident-table take measured 2.8x
+    slower under vmap(B=1), and batching gives no economy anyway
+    (vmap(B=2) = 2x vmap(B=1); ROUND5.md job18). The leading axis here is
+    the tiny per-device batch, so unrolling keeps every take on the fast
+    path at zero cost.
+    """
+    B = args[0].shape[0]
+    outs = [fn(*(a[b] for a in args)) for b in range(B)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+
 def grid_sample_3d(vol: jnp.ndarray,
                    coords: jnp.ndarray,
                    align_corners: bool = True,
@@ -109,7 +125,7 @@ def batched_grid_sample_3d(vol: jnp.ndarray,
     """
     fn = functools.partial(grid_sample_3d, align_corners=align_corners,
                            padding_mode=padding_mode, out_dtype=out_dtype)
-    return jax.vmap(fn)(vol, coords)
+    return map_unbatched(fn, vol, coords)
 
 
 def sample_outer_product(depth_vol: jnp.ndarray,
@@ -168,7 +184,7 @@ def batched_sample_outer_product(depth_vol: jnp.ndarray,
     """vmap of sample_outer_product over a leading (batch*camera) axis."""
     fn = functools.partial(sample_outer_product, align_corners=align_corners,
                            out_dtype=out_dtype)
-    return jax.vmap(fn)(depth_vol, feat, coords)
+    return map_unbatched(fn, depth_vol, feat, coords)
 
 
 # ---------------------------------------------------------------------------
@@ -328,8 +344,9 @@ def batched_grid_sample_3d_fused(vol, coords, align_corners=True,
                            padding_mode=padding_mode, chunk=chunk,
                            out_dtype=out_dtype)
     if tables is None:
-        return jax.vmap(fn)(vol, coords)
-    return jax.vmap(lambda v, c, t: fn(v, c, table=t))(vol, coords, tables)
+        return map_unbatched(fn, vol, coords)
+    return map_unbatched(lambda v, c, t: fn(v, c, table=t), vol, coords,
+                         tables)
 
 
 def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
@@ -378,6 +395,88 @@ def sample_outer_product_fused(depth_vol: jnp.ndarray, feat: jnp.ndarray,
     outs = jax.lax.map(one_chunk,
                        (rows_p.reshape(n_chunks, chunk),
                         w8_p.reshape(n_chunks, chunk, 8)))
+    out = outs.reshape(-1, C)[:P]
+    return out.reshape(*lead, C).astype(out_dtype)
+
+
+def build_lift_pixel_table(depth_vol: jnp.ndarray,
+                           feat: jnp.ndarray) -> jnp.ndarray:
+    """((H+1)*(W+1), 4, D+C) lift table keyed by the 2D pixel corner base.
+
+    Row (by, bx) holds, for the 2x2 pixel block rooted at (by-1, bx-1) of
+    the zero-padded image plane, each pixel's FULL depth profile (D values)
+    concatenated with its feature vector (C values). Pixel order within the
+    row is (dy, dx)-major, matching _axis_window_weights' (a0, a1) order.
+
+    Why (round 5): the fused (d0, y0, x0)-keyed lift table has ~1M rows
+    (144 MB at flagship shapes) and HBM-resident tables gather at only
+    20-105 M rows/s on v5e, while tables that fit VMEM (~<10 MB) gather at
+    380-780 M rows/s (scripts/attrib job10, ROUND5.md). Keying by pixel
+    alone gives 11,505 rows x 816 B = 9.4 MB — VMEM-resident — and the
+    depth interpolation moves post-gather (a one-hot contraction over the
+    gathered profiles, sample_outer_product_pixtab).
+    """
+    D, H, W = depth_vol.shape
+    dp = jnp.moveaxis(depth_vol, 0, -1)            # (H, W, D)
+    x = jnp.concatenate([dp, feat], axis=-1)       # (H, W, D+C)
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    blk = jnp.stack([xp[i:i + H + 1, j:j + W + 1]
+                     for i in (0, 1) for j in (0, 1)], axis=2)
+    return blk.reshape((H + 1) * (W + 1), 4, x.shape[-1])
+
+
+def sample_outer_product_pixtab(depth_vol: jnp.ndarray, feat: jnp.ndarray,
+                                coords: jnp.ndarray,
+                                align_corners: bool = False,
+                                chunk: int = 8192,
+                                out_dtype=jnp.float32) -> jnp.ndarray:
+    """sample_outer_product via the VMEM-sized pixel-keyed table.
+
+    Semantics identical to sample_outer_product / sample_outer_product_fused
+    (torch grid_sample of the implicit depth (x) feat volume, zeros padding):
+    one row-gather per query from the (H+1)(W+1)-row table, then the z
+    interpolation as a two-nonzero one-hot contraction over each gathered
+    pixel's depth profile. fp32 weights/accumulation, like every sampler
+    here.
+    """
+    D, H, W = depth_vol.shape
+    C = feat.shape[-1]
+    lead = coords.shape[:-1]
+    c = coords.reshape(-1, 3)
+    P = c.shape[0]
+    tab = build_lift_pixel_table(depth_vol, feat)
+    flat = tab.reshape(tab.shape[0], -1)
+
+    bx, ax = _axis_window_weights(c[:, 0], W, align_corners, False)
+    by, ay = _axis_window_weights(c[:, 1], H, align_corners, False)
+    rows = by * (W + 1) + bx
+    w4 = (ay[:, :, None] * ax[:, None, :]).reshape(-1, 4)
+    zi, zw, zm = _prep_axis(c[:, 2], D, align_corners, False)
+    z0 = zi[0]
+    z1 = zi[1]
+    w0 = jnp.where(zm[0], zw[0], 0.0)
+    w1 = jnp.where(zm[1], zw[1], 0.0)
+
+    chunk = min(chunk, -(-P // 128) * 128)
+    pad = (-P) % chunk
+    padded = [jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+              for v in (rows, w4, z0, z1, w0, w1)]
+    n_chunks = (P + pad) // chunk
+
+    def one_chunk(args):
+        r, w4c, z0c, z1c, w0c, w1c = args
+        t = jnp.take(flat, r, axis=0).reshape(chunk, 4, D + C)
+        dparts = t[..., :D].astype(jnp.float32)       # (p, 4, D)
+        fparts = t[..., D:].astype(jnp.float32)       # (p, 4, C)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, D), 1)
+        oh = (w0c[:, None] * (iota == z0c[:, None])
+              + w1c[:, None] * (iota == z1c[:, None]))  # (p, D)
+        dsel = jnp.sum(dparts * oh[:, None, :], axis=-1)  # (p, 4)
+        return jnp.sum(fparts * (w4c * dsel)[:, :, None], axis=1)
+
+    outs = jax.lax.map(one_chunk,
+                       tuple(v.reshape((n_chunks, chunk) + v.shape[1:])
+                             for v in padded))
     out = outs.reshape(-1, C)[:P]
     return out.reshape(*lead, C).astype(out_dtype)
 

@@ -81,6 +81,16 @@ class Conv3dZ(nn.Module):
         return jnp.transpose(y, (0, 3, 1, 2, 4))
 
 
+def _pick_outer_sampler(mode: str, train: bool):
+    """Resolve BackboneConfig.lift_sampler ('auto' = train-> pixtab,
+    eval -> fused; see configs.py for the chip measurements)."""
+    if mode == 'pixtab' or (mode == 'auto' and train):
+        return S.sample_outer_product_pixtab
+    if mode not in ('auto', 'fused', 'pixtab'):
+        raise ValueError(f'unknown lift_sampler {mode!r}')
+    return S.sample_outer_product_fused
+
+
 class FieldBackbone(nn.Module):
     """Camera images -> ego 3D feature field -> task outputs.
 
@@ -111,6 +121,19 @@ class FieldBackbone(nn.Module):
         self.bev_mids = jnp.asarray(G.make_bev_mids(c.z_bound_det))
         self.voxel_coords = jnp.asarray(
             G.make_voxel_coords(c.x_bound_seg, c.y_bound_seg, c.z_bound_seg))
+        # block-major voxel constant for the compacted lift: (G, Q, 4) with
+        # G = (Y/blk)*(X/blk) blocks of Q = Z*blk*blk voxels — geometry
+        # computed from this is born block-major (no 94 MB transposes)
+        blk = c.lift_block
+        Zs_, Ys_, Xs_ = c.grid_zyx('seg')
+        if blk and Ys_ % blk == 0 and Xs_ % blk == 0:
+            vox = np.asarray(G.make_voxel_coords(
+                c.x_bound_seg, c.y_bound_seg, c.z_bound_seg))
+            v6 = vox.reshape(Zs_, Ys_ // blk, blk, Xs_ // blk, blk, 4)
+            v6 = v6.transpose(1, 3, 0, 2, 4, 5)
+            self.voxel_coords_bm = jnp.asarray(
+                v6.reshape((Ys_ // blk) * (Xs_ // blk),
+                           Zs_ * blk * blk, 4))
         self.norm_voxel_coords = jnp.asarray(
             G.make_norm_voxel_coords(c.x_bound_seg, c.y_bound_seg, c.z_bound_seg))
         self.output_coords = jnp.asarray(
@@ -187,6 +210,34 @@ class FieldBackbone(nn.Module):
                                     name='voxel_output')
 
     # ------------------------------------------------------------------
+    def _coords_valid(self, pix):
+        """Per-camera pixel coords -> (normalized sample coords, validity).
+
+        Shared by the dense and block-compacted lifts (identical math to
+        base_vampire2.py:483-506; layout-agnostic over the spatial dims).
+        """
+        c = self.cfg
+        fH, fW = c.final_dim
+        x, y, z = pix[..., 0], pix[..., 1], pix[..., 2]
+        x_valid = (x > -0.5) & (x < fW - 0.5)
+        y_valid = (y > -0.5) & (y < fH - 0.5)
+        if c.variant == 'bilinear':
+            z_valid = z > 0.0
+        else:
+            z_valid = (z > c.d_bound[0]) & (z < c.d_bound[1])
+        valid = (x_valid & y_valid & z_valid).astype(jnp.float32)
+        norm_x = 2.0 * (x / (fW - 1.0)) - 1.0
+        norm_y = 2.0 * (y / (fH - 1.0)) - 1.0
+        if c.variant == 'bilinear':
+            norm_z = jnp.zeros_like(norm_x)
+        else:
+            norm_z = 2.0 * ((z - c.d_bound[0])
+                            / (c.d_bound[1] - c.d_bound[0])) - 1.0
+        norm_x = jnp.clip(norm_x, -2.0, 2.0)
+        norm_y = jnp.clip(norm_y, -2.0, 2.0)
+        norm_z = jnp.clip(norm_z, -2.0, 2.0)
+        return jnp.stack([norm_x, norm_y, norm_z], axis=-1), valid
+
     def _density(self, x):
         if self.cfg.density_mode == 'naive':
             return R.naive_density(x)
@@ -198,7 +249,8 @@ class FieldBackbone(nn.Module):
         return self.img_neck(feats, train)
 
     def _lift(self, depth: Optional[jnp.ndarray], feat: jnp.ndarray,
-              mats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+              mats: Dict[str, jnp.ndarray],
+              train: bool = False) -> jnp.ndarray:
         """Project voxel centers into each camera, sample, masked-mean.
 
         depth: (B, N, h, w, D) softmax depth distribution (None for bilinear).
@@ -207,29 +259,22 @@ class FieldBackbone(nn.Module):
         """
         c = self.cfg
         B, N = feat.shape[:2]
-        fH, fW = c.final_dim
+        Z, Y, X = c.grid_zyx('seg')
+        BLK = c.lift_block
+        K = c.lift_block_topk
+        if (K and Y % BLK == 0 and X % BLK == 0
+                and not self.lift_vectorized):
+            # compact path computes its own geometry from the BLOCK-MAJOR
+            # voxel constant, so coords/valid are born in (G, Q) layout and
+            # the two ~94 MB block_major transposes never exist
+            return self._lift_compact(depth, feat, mats, (Z, Y, X), BLK,
+                                      min(K, (Y // BLK) * (X // BLK)),
+                                      train)
         pix = G.get_pixel(self.voxel_coords, mats['sensor2ego'],
                           mats['intrin'], mats['ida'], mats.get('bda'))
-        x, y, z = pix[..., 0], pix[..., 1], pix[..., 2]
-        x_valid = (x > -0.5) & (x < fW - 0.5)
-        y_valid = (y > -0.5) & (y < fH - 0.5)
-        if c.variant == 'bilinear':
-            z_valid = z > 0.0
-        else:
-            z_valid = (z > c.d_bound[0]) & (z < c.d_bound[1])
-        valid = (x_valid & y_valid & z_valid).astype(jnp.float32)
+        coords, valid = self._coords_valid(pix)     # (B, N, Z, Y, X, ...)
 
-        norm_x = 2.0 * (x / (fW - 1.0)) - 1.0
-        norm_y = 2.0 * (y / (fH - 1.0)) - 1.0
-        if c.variant == 'bilinear':
-            norm_z = jnp.zeros_like(norm_x)
-        else:
-            norm_z = 2.0 * ((z - c.d_bound[0])
-                            / (c.d_bound[1] - c.d_bound[0])) - 1.0
-        norm_x = jnp.clip(norm_x, -2.0, 2.0)
-        norm_y = jnp.clip(norm_y, -2.0, 2.0)
-        norm_z = jnp.clip(norm_z, -2.0, 2.0)
-        coords = jnp.stack([norm_x, norm_y, norm_z], axis=-1)  # (B,N,Z,Y,X,3)
+        outer_sampler = _pick_outer_sampler(c.lift_sampler, train)
 
         def sample_cam(depth_n, feat_n, coords_n, valid_n):
             """One camera's voxel volume: (B, Z, Y, X, C)."""
@@ -240,8 +285,8 @@ class FieldBackbone(nn.Module):
                                                    padding_mode='zeros')
             else:
                 dvol = jnp.moveaxis(depth_n, -1, 1)  # (B, D, h, w)
-                v = jax.vmap(lambda d, f, cc: S.sample_outer_product_fused(
-                    d, f, cc, align_corners=False))(dvol, feat_n, coords_n)
+                v = S.map_unbatched(lambda d, f, cc: outer_sampler(
+                    d, f, cc, align_corners=False), dvol, feat_n, coords_n)
             return v * valid_n[..., None]
 
         if self.lift_vectorized:
@@ -256,15 +301,7 @@ class FieldBackbone(nn.Module):
             denom = jnp.sum((jnp.abs(v) > 0).astype(jnp.float32), axis=1)
             return numer / (denom + 1e-6)
 
-        Z, Y, X = c.grid_zyx('seg')
         C = feat.shape[-1]
-        BLK = c.lift_block
-        K = c.lift_block_topk
-        if K and Y % BLK == 0 and X % BLK == 0:
-            return self._lift_compact(depth, feat, coords, valid,
-                                      (Z, Y, X), BLK, min(K, (Y // BLK)
-                                                          * (X // BLK)))
-
         # dense loop mode: accumulate over cameras so only one voxel volume
         # is live; jax.checkpoint rematerializes the gathers in backward
         def lift_one(n, acc):
@@ -282,7 +319,8 @@ class FieldBackbone(nn.Module):
             numer, denom = step(n, (numer, denom))
         return numer / (denom + 1e-6)
 
-    def _lift_compact(self, depth, feat, coords, valid, zyx, blk, topk):
+    def _lift_compact(self, depth, feat, mats, zyx, blk, topk,
+                      train=False):
         """Block-compacted lift: gather only visible voxel blocks per camera.
 
         A camera's frustum covers <~35% of the (Y, X) ego grid, but the dense
@@ -298,21 +336,23 @@ class FieldBackbone(nn.Module):
         Semantics otherwise identical to the dense masked-mean lift
         (base_vampire2.py:483-516).
         """
+        from ..core import geometry as GEO
         c = self.cfg
         Z, Y, X = zyx
         B, N = feat.shape[:2]
         C = feat.shape[-1]
         GY, GX = Y // blk, X // blk
-        G, Q = GY * GX, Z * blk * blk
+        Gn, Q = GY * GX, Z * blk * blk
+        outer_sampler = _pick_outer_sampler(c.lift_sampler, train)
 
-        def block_major(x, tail):
-            x = x.reshape((B, N, Z, GY, blk, GX, blk) + tail)
-            x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6)
-                              + tuple(range(7, 7 + len(tail))))
-            return x.reshape((B, N, G, Q) + tail)
-
-        coords_bm = block_major(coords, (3,))
-        valid_bm = block_major(valid, ())
+        # geometry straight from the block-major voxel constant: get_pixel
+        # treats spatial dims opaquely, so (G, Q, 1, 4) stands in for
+        # (Z, Y, X, 4) and every per-voxel value is bit-identical to the
+        # dense layout's — only the memory order differs
+        pix = GEO.get_pixel(self.voxel_coords_bm[:, :, None],
+                            mats['sensor2ego'], mats['intrin'],
+                            mats['ida'], mats.get('bda'))[..., 0, :]
+        coords_bm, valid_bm = self._coords_valid(pix)     # (B, N, G, Q, .)
         counts = jnp.sum(valid_bm, axis=-1)                      # (B, N, G)
         # coverage diagnostic (ADVICE r2): number of blocks holding valid
         # queries that the top-k selection DROPS — nonzero means a camera
@@ -325,45 +365,47 @@ class FieldBackbone(nn.Module):
         self.sow('diagnostics', 'lift_dropped_blocks',
                  jnp.sum(nonzero - sel_nonzero))
 
-        # Per-camera loop, accumulating into one (B, G, Q, C) pair. A fused
-        # all-cameras variant (one gather over stacked camera-offset tables +
-        # one merged [numer|denom] scatter, sampling.
-        # sample_outer_product_fused_multi) measured SLOWER in-model on the
-        # real chip: occ_density block 58.6 -> 82.6 ms/frame — the big
-        # single gather/scatter draws the same bad layout/fusion choices XLA
-        # gives the standalone lift (ROUND5.md; jobs 30/31/40), while the
+        # Per-(batch, camera) static loop, accumulating into a (G, Q, C)
+        # pair per batch element. Every take/scatter here is UNBATCHED
+        # (plain take over axis 0) — vmap/take_along_axis with a leading
+        # batch dim lowers to XLA's batched gather, which forfeits the fast
+        # row-gather path (2.8x slower on a VMEM-resident table at B=1,
+        # ROUND5.md job18/job21). A fused all-cameras variant (one gather
+        # over stacked camera-offset tables + one merged [numer|denom]
+        # scatter, sampling.sample_outer_product_fused_multi) also measured
+        # SLOWER in-model (occ_density block 58.6 -> 82.6 ms/frame): the
         # loop lets each camera's table build fuse into its own gather.
-        def lift_one(n, acc):
+        def lift_one(b, n, acc):
             numer, denom = acc
-            _, ids = jax.lax.top_k(counts[:, n], topk)           # (B, K)
-            cc = jnp.take_along_axis(coords_bm[:, n],
-                                     ids[:, :, None, None], axis=1)
-            vv = jnp.take_along_axis(valid_bm[:, n],
-                                     ids[:, :, None], axis=1)    # (B, K, Q)
-            flat_cc = cc.reshape(B, topk * Q, 3)
+            _, ids = jax.lax.top_k(counts[b, n], topk)           # (K,)
+            cc = jnp.take(coords_bm[b, n], ids, axis=0)          # (K, Q, 3)
+            vv = jnp.take(valid_bm[b, n], ids, axis=0)           # (K, Q)
+            flat_cc = cc.reshape(topk * Q, 3)
             if c.variant == 'bilinear':
-                vol = feat[:, n][:, None]
-                v = S.batched_grid_sample_3d_fused(vol, flat_cc,
-                                                   align_corners=False,
-                                                   padding_mode='zeros')
+                vol = feat[b, n][None]
+                v = S.grid_sample_3d_fused(vol, flat_cc,
+                                           align_corners=False,
+                                           padding_mode='zeros')
             else:
-                dvol = jnp.moveaxis(depth[:, n], -1, 1)
-                v = jax.vmap(lambda d, f, c3: S.sample_outer_product_fused(
-                    d, f, c3, align_corners=False))(dvol, feat[:, n],
-                                                    flat_cc)
-            v = v.reshape(B, topk, Q, C) * vv[..., None]
+                dvol = jnp.moveaxis(depth[b, n], -1, 0)          # (D, h, w)
+                v = outer_sampler(dvol, feat[b, n], flat_cc,
+                                  align_corners=False)
+            v = v.reshape(topk, Q, C) * vv[..., None]
             m = (jnp.abs(v) > 0).astype(jnp.float32)
-            numer = jax.vmap(lambda a, i, x: a.at[i].add(x))(numer, ids, v)
-            denom = jax.vmap(lambda a, i, x: a.at[i].add(x))(denom, ids, m)
+            numer = numer.at[ids].add(v)
+            denom = denom.at[ids].add(m)
             return numer, denom
 
-        numer = jnp.zeros((B, G, Q, C), jnp.float32)
-        denom = jnp.zeros((B, G, Q, C), jnp.float32)
-        step = (jax.checkpoint(lift_one, static_argnums=0) if self.lift_remat
-                else lift_one)
-        for n in range(N):
-            numer, denom = step(n, (numer, denom))
-        out = numer / (denom + 1e-6)
+        step = (jax.checkpoint(lift_one, static_argnums=(0, 1))
+                if self.lift_remat else lift_one)
+        outs = []
+        for b in range(B):
+            numer = jnp.zeros((Gn, Q, C), jnp.float32)
+            denom = jnp.zeros((Gn, Q, C), jnp.float32)
+            for n in range(N):
+                numer, denom = step(b, n, (numer, denom))
+            outs.append(numer / (denom + 1e-6))
+        out = jnp.stack(outs)
         out = out.reshape(B, GY, GX, Z, blk, blk, C)
         out = jnp.transpose(out, (0, 3, 1, 4, 2, 5, 6))
         return out.reshape(B, Z, Y, X, C)
@@ -510,11 +552,11 @@ class FieldBackbone(nn.Module):
                 tau=c.ray_et_tau, return_diag=True)
         else:
             sampler = R.sample_and_composite_rays
-        outs = jax.vmap(
+        outs = S.map_unbatched(
             lambda t, cc, vv, dd: sampler(
                 t, (Zs, Ys, Xs), K, cc, vv, dd, self.camera_mids,
-                self._density, c.d_bound[1]))(tables, coords_r, valid_r,
-                                              delta_r)
+                self._density, c.d_bound[1]), tables, coords_r, valid_r,
+            delta_r)
         rgb_p, seg_p, depth_p = outs[:3]
         if use_et:
             # coverage diagnostic (ADVICE r2): rays dropped by the static
@@ -598,7 +640,7 @@ class FieldBackbone(nn.Module):
         depth = None if depth is None else depth.reshape(B, NT, h, w, -1)
         low = low.reshape(B, NT, h, w, -1)
 
-        voxel_feats = self._lift(depth, low, lift_mats)          # fp32
+        voxel_feats = self._lift(depth, low, lift_mats, train)   # fp32
         if c.cat_pos:
             pos = jnp.broadcast_to(self.norm_voxel_coords[None],
                                    (B,) + self.norm_voxel_coords.shape)
@@ -632,7 +674,7 @@ class FieldBackbone(nn.Module):
                     fused_t = jnp.pad(
                         fused_t,
                         ((0, 0),) * 4 + ((0, cp - fused_t.shape[-1]),))
-            tables = jax.vmap(S.build_neighborhood_table)(fused_t)
+            tables = S.map_unbatched(S.build_neighborhood_table, fused_t)
         else:
             tables = None
 
