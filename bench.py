@@ -164,13 +164,27 @@ def main():
     full_render_fps = pipelined_fps(make_fwd(with_camera_renders=True))
 
     # ---- stage attribution (VERDICT r4 #2: per-round artifact) ----------
-    # Output-subset DCE attribution (methodology: scripts/perf_r4_attrib.py):
-    # jits returning different output subsets of the SAME forward let XLA
-    # dead-code-eliminate the rest, so subtractions yield stage costs. Each
-    # probe uses the same 2-deep pipelined timing as the headline.
+    # Output-subset DCE attribution: jits returning different output subsets
+    # of the SAME forward let XLA dead-code-eliminate the rest, so
+    # subtractions yield stage costs. Since round 5 each probe is timed with
+    # the K-rep in-jit method (scripts/krep.py): the graph runs K times
+    # inside one jit via lax.scan with per-iteration input perturbation and
+    # the cost is (T(k2)-T(k1))/(k2-k1) — the ~25-30 ms axon dispatch floor
+    # cancels exactly, so small stages (encoder ~3 ms) read true device
+    # time instead of the floor (ROUND5.md §1).
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.krep import krep_ms
+
+    def perturbed(i, imgs, mats):
+        m = dict(mats)
+        m['sensor2ego'] = m['sensor2ego'].at[..., :3, 3].add(1e-3 * i)
+        return imgs + 1e-3 * i, m
+
     def make_subset(keys, with_det=False):
-        @jax.jit
-        def f(v, imgs, mats, pts):
+        def probe(i, v, imgs, mats, pts):
+            imgs, mats = perturbed(i, imgs, mats)
             fo, preds = model.apply(v, imgs, mats, points=pts, train=False,
                                     camera_renders=False)
             outs = [fo[k] for k in keys]
@@ -180,28 +194,27 @@ def main():
                          for d in dec]
             return sum(jnp.sum(x.astype(jnp.float32))
                        for x in jax.tree.leaves(outs))
-        return f
+        return probe
 
     def make_encoder_probe():
         B, N, H, W, _ = batch['imgs'].shape
 
-        @jax.jit
-        def f(v, imgs, mats, pts):
+        def probe(i, v, imgs, mats, pts):
+            imgs, mats = perturbed(i, imgs, mats)
+
             def run(mdl, x):
                 bk = mdl.backbone
                 feats = bk._get_cam_feats(x.reshape(B * N, H, W, 3), False)
                 depth = bk.mapping_along_depth(feats)
                 low = bk.channel_lower(feats)
                 return depth, low
-            outs = model.apply(v, batch['imgs'], method=run)
+            outs = model.apply(v, imgs, method=run)
             return sum(jnp.sum(x.astype(jnp.float32))
                        for x in jax.tree.leaves(outs))
-        return f
+        return probe
 
-    def timed_ms(f):
-        def g(v, imgs, m, p):
-            return f(v, imgs, m, p)
-        return 1000.0 / pipelined_fps(g)
+    def timed_ms(probe):
+        return krep_ms(probe, args, k1=1, k2=3, iters=3)
 
     stage_ms = {}
     try:
@@ -210,6 +223,10 @@ def main():
         t_occ = timed_ms(make_subset(['occ_logits', 'occ_density']))
         t_pts = timed_ms(make_subset(['pts_logits']))
         t_det = timed_ms(make_subset([], with_det=True))
+        t_metrics = timed_ms(make_subset(
+            ['occ_logits', 'occ_density', 'pts_logits',
+             'bev_seg_logits_preds', 'bev_height_preds', 'bev_rgb_preds'],
+            with_det=True))
         stage_ms = {
             'encoder_fpn_depth_heads': round(t_enc, 1),
             'lift_unet3d_density_occquery': round(t_occd - t_enc, 1),
@@ -217,7 +234,8 @@ def main():
             'tables_point_query': round(t_pts - t_occ, 1),
             'bevrender_dethead_decode': round(t_det - t_occ, 1),
             'occ_density_graph': round(t_occd, 1),
-            'metrics_graph': round(1000.0 / fps, 1),
+            'metrics_graph_device': round(t_metrics, 1),
+            'metrics_graph_pipelined': round(1000.0 / fps, 1),
         }
     except Exception as e:  # never let attribution kill the headline
         stage_ms = {'error': str(e)}

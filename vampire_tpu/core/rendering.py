@@ -106,7 +106,7 @@ def sample_and_composite_rays(table: jnp.ndarray,
                               camera_mids: jnp.ndarray,
                               density_fn,
                               bg_depth: float,
-                              chunk_rays: int = 768
+                              chunk_rays: int = 384
                               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused field-sampling + alpha compositing over whole rays.
 
@@ -115,7 +115,9 @@ def sample_and_composite_rays(table: jnp.ndarray,
     tensor (S x 22 floats per ray, ~0.5 GB/frame) never materializes in HBM —
     each chunk gathers its corner rows, composites in VMEM, and writes only
     the per-ray results. Chunks are rematerialized in backward (re-gather
-    instead of storing gathered rows).
+    instead of storing gathered rows). chunk_rays=384 is the measured
+    optimum at flagship shapes (47.3 / 49.8 / 50.9 / 74.6 ms for
+    384/768/1536/192, ROUND5.md job30).
 
     Args:
       table: build_neighborhood_table(fused_vol) where fused_vol is
