@@ -71,7 +71,7 @@ def _bda_mat(rot_deg, scale, flip_x, flip_y):
 def test_flagship_block_coverage_margin():
     """Worst-case live 8x8 blocks per camera stays well under K=448."""
     bc = flagship_config().backbone
-    assert bc.lift_block == 8 and bc.lift_block_topk == 288
+    assert bc.lift_block == 8 and bc.lift_block_topk == 264
     Z, Y, X = bc.grid_zyx('seg')
     vox = jnp.asarray(G.make_voxel_coords(bc.x_bound_seg, bc.y_bound_seg,
                                           bc.z_bound_seg))
@@ -110,7 +110,7 @@ def test_flagship_lift_dropped_blocks_zero():
     Runs the REAL flagship-config lift (not a geometry-only recount) on the
     benched rig (synthetic_batch's camera_rig, the geometry bench.py times)
     and asserts the sown `lift_dropped_blocks` diagnostic is exactly zero —
-    i.e. the configured top-k=288 covers every live block, so the
+    i.e. the configured top-k covers every live block, so the
     block-compacted lift is exact, not approximate, in the benched
     configuration. Reference semantics: masked camera mean
     (base_vampire2.py:509-515)."""

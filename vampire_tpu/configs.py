@@ -92,7 +92,10 @@ class BackboneConfig:
     # (Y, X) voxel blocks per camera instead of all Z*Y*X queries. Measured
     # worst case over 3 camera rigs x the full reference bda range: 208 of
     # 1024 blocks hold any valid query (a <=120deg FOV wedge of the 102.4m
-    # square + boundary blocks); K=288 keeps a 1.38x margin
+    # square + boundary blocks); K=264 keeps a 1.27x margin (the repo
+    # standard is >=25% headroom, tests/test_lift.py; K=232 measured
+    # another -3.4 ms but breaches it — ROUND5.md job38: occ_density block
+    # 45.7 / 39.8 ms at K=288 / 232)
     # (tests/test_lift.py::test_flagship_block_coverage_margin asserts it,
     # and field._lift_compact sows a 'diagnostics' counter of dropped live
     # blocks so out-of-family rigs are detectable). Blocks beyond K would
@@ -100,7 +103,7 @@ class BackboneConfig:
     # in the masked mean, exactly as if out of view. 0 disables (dense
     # gather over the full grid).
     lift_block: int = 8
-    lift_block_topk: int = 288
+    lift_block_topk: int = 264
     # Lift gather table keying (round 5, ROUND5.md §6):
     #   'fused'  — (d0,y0,x0)-keyed corner table, 1M rows/144 MB (HBM).
     #   'pixtab' — (y0,x0)-keyed pixel table, 11.5k rows/9.4 MB (VMEM-
@@ -117,6 +120,13 @@ class BackboneConfig:
     # the fp32 reference sampler on bf16 inputs; fused differs by ~1e-8
     # (reassociation).
     lift_sampler: str = 'fused'
+    # gather/reduce chunk (queries per lax.map step) of the lift samplers;
+    # 0 = sampler default (fused 65536, pixtab 8192). Recorded NEGATIVE
+    # (ROUND5.md job34/37): the single-camera micro strongly favors small
+    # chunks (fused 7.53 ms at 4096 vs 9.22 at 65536), but IN-MODEL the
+    # occ_density block is 43.7 vs 40.6 ms — the fusion context inverts the
+    # micro, so the default stays 0 and this knob exists for re-measuring.
+    lift_chunk: int = 0
     # Lane-aligned fused-field table rows: pad the fused channels with zeros
     # so table rows are whole 128-lane tiles (e.g. 32 -> 8*32 = 256 ch =
     # 512 B rows vs the natural C = 1+K+3 = 22 -> 352 B = 2.75 tiles).

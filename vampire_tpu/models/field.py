@@ -81,14 +81,20 @@ class Conv3dZ(nn.Module):
         return jnp.transpose(y, (0, 3, 1, 2, 4))
 
 
-def _pick_outer_sampler(mode: str, train: bool):
+def _pick_outer_sampler(mode: str, train: bool, chunk: int = 0):
     """Resolve BackboneConfig.lift_sampler ('auto' = train-> pixtab,
-    eval -> fused; see configs.py for the chip measurements)."""
+    eval -> fused; see configs.py for the chip measurements). chunk > 0
+    overrides the sampler's gather/reduce chunk (BackboneConfig.lift_chunk).
+    """
     if mode == 'pixtab' or (mode == 'auto' and train):
-        return S.sample_outer_product_pixtab
-    if mode not in ('auto', 'fused', 'pixtab'):
+        fn = S.sample_outer_product_pixtab
+    elif mode in ('auto', 'fused'):
+        fn = S.sample_outer_product_fused
+    else:
         raise ValueError(f'unknown lift_sampler {mode!r}')
-    return S.sample_outer_product_fused
+    if chunk:
+        return functools.partial(fn, chunk=chunk)
+    return fn
 
 
 class FieldBackbone(nn.Module):
@@ -274,7 +280,8 @@ class FieldBackbone(nn.Module):
                           mats['intrin'], mats['ida'], mats.get('bda'))
         coords, valid = self._coords_valid(pix)     # (B, N, Z, Y, X, ...)
 
-        outer_sampler = _pick_outer_sampler(c.lift_sampler, train)
+        outer_sampler = _pick_outer_sampler(c.lift_sampler, train,
+                                            c.lift_chunk)
 
         def sample_cam(depth_n, feat_n, coords_n, valid_n):
             """One camera's voxel volume: (B, Z, Y, X, C)."""
@@ -343,7 +350,8 @@ class FieldBackbone(nn.Module):
         C = feat.shape[-1]
         GY, GX = Y // blk, X // blk
         Gn, Q = GY * GX, Z * blk * blk
-        outer_sampler = _pick_outer_sampler(c.lift_sampler, train)
+        outer_sampler = _pick_outer_sampler(c.lift_sampler, train,
+                                            c.lift_chunk)
 
         # geometry straight from the block-major voxel constant: get_pixel
         # treats spatial dims opaquely, so (G, Q, 1, 4) stands in for
